@@ -62,7 +62,10 @@ def encode_box3d(rotys: jnp.ndarray, dims: jnp.ndarray, locs: jnp.ndarray) -> jn
     half_dims = dims * 0.5                                     # (N, 3)
     plus_minus = jnp.stack([half_dims] * 4 + [-half_dims] * 4, axis=-1)  # (N, 3, 8) cols 0-3:+, 4-7:-
     box_obj = jnp.take_along_axis(plus_minus, jnp.broadcast_to(_CORNER_INDEX, plus_minus.shape), axis=-1)
-    corners = jnp.einsum("nij,njk->nik", ry, box_obj)          # (N, 3, 8)
+    # tiny 3x3 matmuls where 1e-3 MXU rounding would move corners by mm: keep
+    # them in full f32 (negligible FLOPs, decode accuracy matters)
+    corners = jnp.einsum("nij,njk->nik", ry, box_obj,
+                         precision=jax.lax.Precision.HIGHEST)   # (N, 3, 8)
     corners = corners + locs[..., None]
     return jnp.transpose(corners, (0, 2, 1))
 

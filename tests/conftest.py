@@ -3,7 +3,15 @@ import os
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
 # exercised without TPU hardware (the driver separately dry-runs the real
 # multi-chip path via __graft_entry__.dryrun_multichip).
+#
+# Note: the environment may pre-import jax with a TPU platform plugin active
+# (sitecustomize), so setting JAX_PLATFORMS here is not enough — override the
+# live config before any backend is initialized.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -126,13 +126,17 @@ class TestJaxParity:
         locs[:, 2] += 20
 
         out = np.asarray(GJ.encode_box3d(jnp.array(rotys), jnp.array(dims), jnp.array(locs)))
+        # the network-side corner order is rotated by two within each face
+        # relative to the label-side Object3d order (the reference has the same
+        # two conventions; each is used self-consistently)
+        perm = np.array([2, 3, 0, 1, 6, 7, 4, 5])
         for i in range(n):
             l, h, w = dims[i]
             # geometry.box3d_corners takes bottom-center; here locs is 3D center
             bottom = locs[i].copy()
             bottom[1] += h / 2
             ref = G.box3d_corners(np.array([l, h, w]), bottom, rotys[i])
-            np.testing.assert_allclose(out[i], ref, atol=1e-4)
+            np.testing.assert_allclose(out[i], ref[perm], atol=1e-4)
 
     def test_decode_location_matches_calib(self):
         import jax.numpy as jnp
