@@ -1,0 +1,203 @@
+import math
+import os
+
+import numpy as np
+import pytest
+
+from monoflex_tpu.config import get_cfg_defaults
+from monoflex_tpu.data.dataset import KITTIDataset
+from monoflex_tpu.data.loader import (DataLoader, InferenceSampler,
+                                      TrainingSampler, collate,
+                                      make_test_loader, make_train_loader)
+from synthetic_kitti import make_synthetic_kitti
+
+RUN_YAML = os.path.join(os.path.dirname(__file__), "..", "runs", "monoflex.yaml")
+
+
+@pytest.fixture(scope="module")
+def kitti_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("kitti")
+    return make_synthetic_kitti(str(root))
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = get_cfg_defaults()
+    c.merge_from_file(RUN_YAML)
+    return c
+
+
+def make_ds(cfg, root, **kw):
+    return KITTIDataset(cfg, root, **kw)
+
+
+def test_dataset_basic_shapes(cfg, kitti_root):
+    ds = make_ds(cfg, kitti_root, is_train=True, augment=False)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["image"].shape == (384, 1280, 3)
+    assert s["hm"].shape == (96, 320, 3)
+    assert s["cls_ids"].shape == (40,)
+    assert s["keypoints"].shape == (40, 10, 3)
+    assert s["orientations"].shape == (40, 8)
+    assert s["edge_indices"].shape == ((320 + 96) * 2, 2)
+    assert s["reg_mask"].sum() == 3  # two cars + pedestrian
+    assert s["calib_params"].shape == (6,)
+
+
+def test_heatmap_peaks_at_target_centers(cfg, kitti_root):
+    ds = make_ds(cfg, kitti_root, is_train=True, augment=False)
+    s = ds[0]
+    for i in range(40):
+        if s["reg_mask"][i]:
+            cx, cy = s["target_centers"][i]
+            cls = s["cls_ids"][i]
+            assert s["hm"][cy, cx, cls] == 1.0
+
+
+def test_ignored_classes_skipped(cfg, kitti_root):
+    ds = make_ds(cfg, kitti_root, is_train=True, augment=False)
+    s = ds[1]
+    # Van and DontCare skipped; truncated Car + Cyclist remain
+    assert s["reg_mask"].sum() == 2
+    assert set(s["cls_ids"][s["reg_mask"] > 0].tolist()) == {0, 2}
+
+
+def test_truncated_object_marked(cfg, kitti_root):
+    ds = make_ds(cfg, kitti_root, is_train=True, augment=False)
+    s = ds[1]
+    valid = s["reg_mask"] > 0
+    assert s["trunc_mask"][valid].sum() == 1  # the far-left car
+    i = int(np.argmax(s["trunc_mask"]))
+    # truncated center sits on the left boundary column of the valid region
+    x_min = int(np.ceil(s["pad_size"][0] / 4))
+    assert s["target_centers"][i][0] == x_min
+
+
+def test_empty_scene(cfg, kitti_root):
+    ds = make_ds(cfg, kitti_root, is_train=True, augment=False)
+    s = ds[2]
+    assert s["reg_mask"].sum() == 0
+    assert s["hm"].max() == 0
+
+
+def test_offsets_reconstruct_projection(cfg, kitti_root):
+    ds = make_ds(cfg, kitti_root, is_train=True, augment=False)
+    s = ds[0]
+    calib = ds.get_calibration(0)
+    for i in range(40):
+        if not s["reg_mask"][i] or s["trunc_mask"][i]:
+            continue
+        center = s["target_centers"][i].astype(np.float64)
+        proj_feat = center + s["offset_3D"][i]
+        uv = proj_feat * 4 - s["pad_size"]
+        locs = s["locations"][i]
+        expect_uv, _ = calib.project_rect_to_image(locs.reshape(1, 3))
+        np.testing.assert_allclose(uv, expect_uv[0], atol=1e-3)
+
+
+def test_keypoints_match_corner_projection(cfg, kitti_root):
+    ds = make_ds(cfg, kitti_root, is_train=True, augment=False)
+    s = ds[0]
+    calib = ds.get_calibration(0)
+    objs = ds.filtrate_objects(ds.get_label_objects(0))
+    i = 0
+    obj = objs[0]
+    corners = obj.generate_corners3d()
+    uv, _ = calib.project_rect_to_image(corners)
+    feat_uv = (uv + s["pad_size"].reshape(1, 2)) / 4
+    expect = feat_uv - s["target_centers"][i].reshape(1, 2)
+    np.testing.assert_allclose(s["keypoints"][i, :8, :2], expect, atol=1e-3)
+    assert s["keypoints"][i, :, 2].all()  # fully visible object
+    assert s["keypoints_depth_mask"][i].all()
+
+
+def test_flip_consistency(cfg, kitti_root):
+    # flipped sample must still satisfy offset reconstruction with its calib
+    ds = make_ds(cfg, kitti_root, is_train=True, augment=True, seed=1)
+    ds.augmentations[0].p = 1.0  # force flip
+    s = ds[0]
+    calib = ds.get_calibration(0)
+    calib.flip_horizontally(1242)
+    for i in range(40):
+        if not s["reg_mask"][i] or s["trunc_mask"][i]:
+            continue
+        center = s["target_centers"][i].astype(np.float64)
+        uv = (center + s["offset_3D"][i]) * 4 - s["pad_size"]
+        locs = s["locations"][i]
+        expect_uv, _ = calib.project_rect_to_image(locs.reshape(1, 3))
+        np.testing.assert_allclose(uv, expect_uv[0], atol=1e-3)
+    # flipped roty stays in range
+    valid = s["reg_mask"] > 0
+    assert np.all(np.abs(s["rotys"][valid]) <= math.pi)
+
+
+def test_right_image_doubles_epoch(cfg, kitti_root):
+    c = cfg.clone()
+    c.DATASETS.USE_RIGHT_IMAGE = True
+    ds = make_ds(c, kitti_root, is_train=True, augment=False)
+    assert len(ds) == 6
+    s = ds[3 + 0]  # right image of frame 0
+    assert s["reg_mask"].sum() >= 1
+    # right-camera P3 has a different b_x
+    assert s["calib_params"][4] != ds[0]["calib_params"][4]
+
+
+def test_edge_indices_walk_border(cfg, kitti_root):
+    ds = make_ds(cfg, kitti_root, is_train=True, augment=False)
+    s = ds[0]
+    n = int(s["edge_len"]) + 1
+    edges = s["edge_indices"][:n]
+    x_min = int(np.ceil(s["pad_size"][0] / 4))
+    y_min = int(np.ceil(s["pad_size"][1] / 4))
+    x_max = int((s["pad_size"][0] + 1242 - 1) // 4)
+    y_max = int((s["pad_size"][1] + 375 - 1) // 4)
+    assert (edges[:, 0] >= x_min).all() and (edges[:, 0] <= x_max).all()
+    assert (edges[:, 1] >= y_min).all() and (edges[:, 1] <= y_max).all()
+    on_border = ((edges[:, 0] == x_min) | (edges[:, 0] == x_max)
+                 | (edges[:, 1] == y_min) | (edges[:, 1] == y_max))
+    assert on_border.all()
+    # consecutive steps move by exactly one pixel (a chain, for the 1-D conv)
+    steps = np.abs(np.diff(edges, axis=0)).sum(axis=1)
+    assert (steps == 1).all()
+
+
+def test_samplers():
+    s = TrainingSampler(10, seed=0, rank=0, world_size=2)
+    it = iter(s)
+    first = [next(it) for _ in range(10)]
+    s2 = TrainingSampler(10, seed=0, rank=1, world_size=2)
+    it2 = iter(s2)
+    second = [next(it2) for _ in range(10)]
+    assert set(first[:5]) | set(second[:5]) == set(range(10))
+
+    inf = InferenceSampler(10, rank=1, world_size=3)
+    all_idx = []
+    for r in range(3):
+        all_idx += InferenceSampler(10, rank=r, world_size=3).indices
+    assert sorted(all_idx) == list(range(10))
+
+
+def test_train_loader_batches(cfg, kitti_root):
+    c = cfg.clone()
+    c.SOLVER.IMS_PER_BATCH = 2
+    c.DATALOADER.NUM_WORKERS = 2
+    ds = make_ds(c, kitti_root, is_train=True, augment=False)
+    loader = make_train_loader(c, ds)
+    it = iter(loader)
+    batch = next(it)
+    assert batch["image"].shape == (2, 384, 1280, 3)
+    assert batch["hm"].shape == (2, 96, 320, 3)
+    batch2 = next(it)
+    assert batch2["image"].shape == (2, 384, 1280, 3)
+
+
+def test_test_loader_covers_all(cfg, kitti_root):
+    c = cfg.clone()
+    c.DATALOADER.NUM_WORKERS = 2
+    ds = make_ds(c, kitti_root, is_train=False, augment=False)
+    loader = make_test_loader(c, ds, batch_size=2)
+    ids = []
+    for batch in loader:
+        ids += batch["image_id"].tolist()
+    assert sorted(ids) == [0, 1, 2]
