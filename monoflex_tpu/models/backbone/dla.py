@@ -1,0 +1,330 @@
+"""DLA-34 backbone with deformable-conv iterative deep aggregation neck.
+
+Ground-up flax/linen re-implementation of the reference backbone
+(reference: model/backbone/dla_dcn.py:20-452): DLA-34 trunk (7x7 stem + 6
+levels with recursive Tree/Root aggregation, levels [1,1,1,2,2,1], channels
+[16,32,64,128,256,512]), then DLAUp + IDAUp where every projection/node conv
+is a 3x3 DCNv2 and every upsample is a bilinear-initialised depthwise
+transposed conv.  Output: one stride-4, 64-channel NHWC feature map.
+
+TPU-first choices: NHWC layout throughout (XLA's preferred conv layout),
+BatchNorm statistics over the global (sharded) batch so data-parallel
+training gets synchronized BN for free under GSPMD, and the DCN expressed as
+gather+matmul (see ops/dcn.py) or a Pallas kernel.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.dcn import modulated_deform_conv
+
+BN_MOMENTUM = 0.9  # flax momentum = 1 - torch momentum (torch uses 0.1)
+
+
+class ConvBnRelu(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.dilation * (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)],
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x, residual=None, train: bool = False):
+        if residual is None:
+            residual = x
+        out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(self.dilation,) * 2] * 2,
+                      kernel_dilation=(self.dilation, self.dilation),
+                      use_bias=False)(x)
+        out = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                           epsilon=1e-5)(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (3, 3), padding=[(self.dilation,) * 2] * 2,
+                      kernel_dilation=(self.dilation, self.dilation),
+                      use_bias=False)(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                           epsilon=1e-5)(out)
+        return nn.relu(out + residual)
+
+
+class Root(nn.Module):
+    features: int
+    residual: bool = False
+
+    @nn.compact
+    def __call__(self, children: List[jnp.ndarray], train: bool = False):
+        x = nn.Conv(self.features, (1, 1), use_bias=False)(
+            jnp.concatenate(children, axis=-1))
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=1e-5)(x)
+        if self.residual:
+            x = x + children[0]
+        return nn.relu(x)
+
+
+class Tree(nn.Module):
+    levels: int
+    in_channels: int
+    out_channels: int
+    stride: int = 1
+    level_root: bool = False
+    root_dim: int = 0
+    root_residual: bool = False
+
+    @nn.compact
+    def __call__(self, x, residual=None, children=None, train: bool = False):
+        root_dim = self.root_dim or 2 * self.out_channels
+        if self.level_root:
+            root_dim += self.in_channels
+
+        children = [] if children is None else list(children)
+        bottom = nn.max_pool(x, (self.stride, self.stride),
+                             strides=(self.stride, self.stride)) if self.stride > 1 else x
+        if self.in_channels != self.out_channels:
+            proj = nn.Conv(self.out_channels, (1, 1), use_bias=False)(bottom)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    momentum=BN_MOMENTUM, epsilon=1e-5)(proj)
+        else:
+            residual = bottom
+        if self.level_root:
+            children.append(bottom)
+
+        if self.levels == 1:
+            x1 = BasicBlock(self.out_channels, self.stride)(x, residual, train=train)
+            x2 = BasicBlock(self.out_channels, 1)(x1, train=train)
+            return Root(self.out_channels, self.root_residual)([x2, x1] + children, train=train)
+
+        x1 = Tree(self.levels - 1, self.in_channels, self.out_channels,
+                  self.stride, root_residual=self.root_residual)(x, residual, train=train)
+        children.append(x1)
+        return Tree(self.levels - 1, self.out_channels, self.out_channels,
+                    root_dim=root_dim + self.out_channels,
+                    root_residual=self.root_residual)(x1, children=children, train=train)
+
+
+class DLA(nn.Module):
+    levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
+    channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
+    residual_root: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
+        ch = self.channels
+        # stem: 7x7 stride-1
+        x = nn.Conv(ch[0], (7, 7), padding=[(3, 3), (3, 3)], use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=1e-5)(x)
+        x = nn.relu(x)
+
+        outputs = []
+        # level0 / level1: plain conv levels
+        y = x
+        for _ in range(self.levels[0]):
+            y = ConvBnRelu(ch[0])(y, train=train)
+        outputs.append(y)
+        for i in range(self.levels[1]):
+            y = ConvBnRelu(ch[1], stride=2 if i == 0 else 1)(y, train=train)
+        outputs.append(y)
+        # levels 2-5: aggregation trees
+        y = Tree(self.levels[2], ch[1], ch[2], 2, level_root=False,
+                 root_residual=self.residual_root)(y, train=train)
+        outputs.append(y)
+        y = Tree(self.levels[3], ch[2], ch[3], 2, level_root=True,
+                 root_residual=self.residual_root)(y, train=train)
+        outputs.append(y)
+        y = Tree(self.levels[4], ch[3], ch[4], 2, level_root=True,
+                 root_residual=self.residual_root)(y, train=train)
+        outputs.append(y)
+        y = Tree(self.levels[5], ch[4], ch[5], 2, level_root=True,
+                 root_residual=self.residual_root)(y, train=train)
+        outputs.append(y)
+        return outputs
+
+
+def _kaiming_uniform_dcn(key, shape, dtype=jnp.float32):
+    """The reference DCNv2 weight reset: uniform(-s, s), s = 1/sqrt(fan_in)
+    (reference: model/backbone/DCNv2/dcn_v2.py reset_parameters)."""
+    fan_in = shape[0] * shape[1] * shape[2]
+    s = 1.0 / math.sqrt(fan_in)
+    return nn.initializers.uniform(scale=2 * s)(key, shape, dtype) - s
+
+
+class DCN(nn.Module):
+    """Deformable conv whose offsets/masks come from a zero-initialised conv
+    on the same input (reference: model/backbone/DCNv2/dcn_v2.py:97-128)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel * self.kernel
+        om = nn.Conv(3 * k, (self.kernel, self.kernel),
+                     strides=(self.stride, self.stride),
+                     padding=[(self.padding,) * 2] * 2,
+                     kernel_dilation=(self.dilation,) * 2,
+                     kernel_init=nn.initializers.zeros,
+                     bias_init=nn.initializers.zeros)(x)
+        o1, o2, mask_logits = jnp.split(om, 3, axis=-1)
+        offset = jnp.concatenate([o1, o2], axis=-1)
+        mask = nn.sigmoid(mask_logits)
+
+        cin = x.shape[-1]
+        weight = self.param("kernel", _kaiming_uniform_dcn,
+                            (self.kernel, self.kernel, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return modulated_deform_conv(
+            x, offset, mask, weight, bias,
+            stride=self.stride, padding=self.padding, dilation=self.dilation)
+
+
+class DeformConvBlock(nn.Module):
+    """DCN -> BN -> ReLU (reference: model/backbone/dla_dcn.py:384-396)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = DCN(self.features)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=1e-5)(x)
+        return nn.relu(x)
+
+
+def _bilinear_upsample_init(key, shape, dtype=jnp.float32):
+    """Bilinear kernel for depthwise transposed conv
+    (reference: model/backbone/dla_dcn.py:372-381)."""
+    kh, kw, _, c = shape  # HWIO with I=1 (depthwise)
+    f = math.ceil(kh / 2)
+    center = (2 * f - 1 - f % 2) / (2.0 * f)
+    w = np.zeros((kh, kw), dtype=np.float32)
+    for i in range(kh):
+        for j in range(kw):
+            w[i, j] = (1 - abs(i / f - center)) * (1 - abs(j / f - center))
+    return jnp.asarray(np.tile(w[:, :, None, None], (1, 1, 1, c)), dtype)
+
+
+class BilinearUp(nn.Module):
+    """Depthwise transposed conv, kernel 2f, stride f, pad f/2 (trainable,
+    bilinear-initialised).  Expressed as an input-dilated conv so XLA maps it
+    onto the standard conv path."""
+
+    factor: int
+
+    @nn.compact
+    def __call__(self, x):
+        f = self.factor
+        c = x.shape[-1]
+        kernel = self.param("kernel", _bilinear_upsample_init, (2 * f, 2 * f, 1, c))
+        # conv_transpose(stride f, k=2f, pad=f/2) == lhs-dilated conv with the
+        # spatially flipped kernel and padding k-1-f/2 per side
+        pad = 2 * f - 1 - f // 2
+        return jax.lax.conv_general_dilated(
+            x, kernel[::-1, ::-1],
+            window_strides=(1, 1),
+            padding=[(pad, pad), (pad, pad)],
+            lhs_dilation=(f, f),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+
+class IDAUp(nn.Module):
+    """Iterative deep aggregation over a pyramid slice
+    (reference: model/backbone/dla_dcn.py:399-425)."""
+
+    out_channels: int
+    up_factors: Sequence[int]
+
+    @nn.compact
+    def __call__(self, layers: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
+        layers = list(layers)
+        for i in range(1, len(layers)):
+            f = int(self.up_factors[i])
+            proj = DeformConvBlock(self.out_channels, name=f"proj_{i}")(layers[i], train=train)
+            up = BilinearUp(f, name=f"up_{i}")(proj) if f > 1 else proj
+            layers[i] = DeformConvBlock(self.out_channels, name=f"node_{i}")(
+                up + layers[i - 1], train=train)
+        return layers
+
+
+class DLAUp(nn.Module):
+    """Full pyramid aggregation: repeatedly merge the deepest levels upward
+    (reference: model/backbone/dla_dcn.py:429-452)."""
+
+    channels: Sequence[int]          # channels of the input pyramid slice
+    scales: Sequence[int]
+
+    @nn.compact
+    def __call__(self, layers: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
+        layers = list(layers)
+        channels = list(self.channels)
+        scales = np.array(self.scales, dtype=int)
+        out = [layers[-1]]
+        for i in range(len(layers) - 1):
+            j = -i - 2
+            ida = IDAUp(channels[j], (scales[j:] // scales[j]).tolist(), name=f"ida_{i}")
+            merged = ida(layers[j:], train=train)
+            layers[j:] = merged
+            scales[j + 1:] = scales[j]
+            channels[j + 1:] = [channels[j]] * len(channels[j + 1:])
+            out.insert(0, layers[-1])
+        return out
+
+
+class DLASeg(nn.Module):
+    """Backbone entry: DLA trunk -> DLAUp -> final IDAUp -> stride-4 map
+    (reference: model/backbone/dla_dcn.py:30-58)."""
+
+    down_ratio: int = 4
+    last_level: int = 5
+    levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
+    channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> jnp.ndarray:
+        first_level = int(math.log2(self.down_ratio))
+        feats = DLA(self.levels, self.channels, name="base")(x, train=train)
+
+        ch = list(self.channels[first_level:])
+        scales = [2 ** i for i in range(len(ch))]
+        pyramid = DLAUp(ch, scales, name="dla_up")(feats[first_level:], train=train)
+
+        n_final = self.last_level - first_level
+        y = [pyramid[i] for i in range(n_final)]
+        y = IDAUp(self.channels[first_level],
+                  [2 ** i for i in range(n_final)], name="ida_up")(y, train=train)
+        return y[-1]
+
+
+def build_backbone(cfg) -> DLASeg:
+    if cfg.MODEL.BACKBONE.CONV_BODY != "dla34":
+        raise NotImplementedError(cfg.MODEL.BACKBONE.CONV_BODY)
+    return DLASeg(down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO)

@@ -1,0 +1,102 @@
+"""Jitted image-space ops for the detection head and decoder.
+
+Device-side ports of the reference's tensor utilities
+(reference: model/layers/utils.py:39-145): heatmap sigmoid+clamp, max-pool
+NMS, two-stage class-aware top-k, and point-of-interest gathers.  All NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def sigmoid_hm(logits: jnp.ndarray, eps: float = 1e-4) -> jnp.ndarray:
+    return jnp.clip(jax.nn.sigmoid(logits), eps, 1 - eps)
+
+
+def nms_hm(heatmap: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
+    """Keep only local maxima: x * (maxpool3x3(x) == x). heatmap: (B,H,W,C)."""
+    pad = (kernel - 1) // 2
+    hmax = jax.lax.reduce_window(
+        heatmap, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+    return heatmap * (hmax == heatmap).astype(heatmap.dtype)
+
+
+def select_topk(heatmap: jnp.ndarray, k: int = 50
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Two-stage top-k over a (B, H, W, C) heatmap.
+
+    Stage 1 picks k peaks per class, stage 2 picks k overall
+    (reference: model/layers/utils.py:61-100).
+    Returns (scores, flat_spatial_index, cls, ys, xs), each (B, k).
+    """
+    B, H, W, C = heatmap.shape
+    hm = jnp.transpose(heatmap, (0, 3, 1, 2)).reshape(B, C, H * W)
+    scores_all, inds_all = jax.lax.top_k(hm, k)               # (B, C, k)
+
+    ys_all = (inds_all // W).astype(jnp.float32)
+    xs_all = (inds_all % W).astype(jnp.float32)
+
+    scores, inds = jax.lax.top_k(scores_all.reshape(B, C * k), k)   # (B, k)
+    clses = (inds // k).astype(jnp.float32)
+
+    def gather(feat):
+        return jnp.take_along_axis(feat.reshape(B, C * k), inds, axis=1)
+
+    topk_inds = gather(inds_all)
+    topk_ys = gather(ys_all)
+    topk_xs = gather(xs_all)
+    return scores, topk_inds, clses, topk_ys, topk_xs
+
+
+def select_point_of_interest(feature_map: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-object feature vectors at integer feature-map locations.
+
+    feature_map: (B, H, W, C); index: (B, N, 2) int [x, y] or (B, N) flat.
+    Returns (B, N, C) (reference: model/layers/utils.py:120-145).
+    """
+    B, H, W, C = feature_map.shape
+    if index.ndim == 3:
+        index = index[..., 1] * W + index[..., 0]
+    index = jnp.clip(index.astype(jnp.int32), 0, H * W - 1)
+    flat = feature_map.reshape(B, H * W, C)
+    return jnp.take_along_axis(flat, index[..., None], axis=1)
+
+
+def gather_edge_features(feature_map: jnp.ndarray, edge_indices: jnp.ndarray) -> jnp.ndarray:
+    """Sample features along the boundary pixel chain.
+
+    The reference uses grid_sample(align_corners=True) at integer pixel
+    coordinates (reference: model/head/detector_predictor.py:142-148), which
+    reduces to an exact gather.
+    feature_map: (B, H, W, C); edge_indices: (B, E, 2) int [x, y] -> (B, E, C).
+    """
+    return select_point_of_interest(feature_map, edge_indices)
+
+
+def scatter_add_edge(output: jnp.ndarray, edge_indices: jnp.ndarray,
+                     edge_values: jnp.ndarray, edge_len: jnp.ndarray) -> jnp.ndarray:
+    """Add per-boundary-pixel values back onto the dense map.
+
+    output: (B, H, W, C); edge_indices: (B, E, 2) [x, y];
+    edge_values: (B, E, C); edge_len: (B,) valid prefix lengths
+    (reference: model/head/detector_predictor.py:155-158).
+    """
+    B, H, W, C = output.shape
+    E = edge_indices.shape[1]
+    valid = (jnp.arange(E)[None, :] < edge_len[:, None]).astype(output.dtype)
+    vals = edge_values * valid[..., None]
+    flat_idx = edge_indices[..., 1] * W + edge_indices[..., 0]
+    flat_idx = jnp.clip(flat_idx.astype(jnp.int32), 0, H * W - 1)
+
+    def per_image(out_img, idx, v):
+        return out_img.reshape(H * W, C).at[idx].add(v).reshape(H, W, C)
+
+    return jax.vmap(per_image)(output, flat_idx, vals)
