@@ -1,0 +1,118 @@
+"""Optimizer + LR schedule factories (optax).
+
+Capability port of the reference solver (reference: solver/__init__.py:10-92):
+AdamW/Adam/SGD with betas (0.9, 0.99), bias parameters at BIAS_LR_FACTOR x
+base LR, multi-step decay with an LR floor, optional cosine warmup, and a
+one-cycle cosine schedule (the fastai OneCycle equivalent,
+reference: solver/learning_schedules_fastai.py:60-79).
+
+LR scaling by parameter group is realized as an optax scale mask rather than
+torch param groups; the schedule multiplies the shared base LR.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def multi_step_schedule(base_lr: float, decay_steps: Sequence[int], decay: float,
+                        lr_clip: float, warmup_steps: int = 0,
+                        warmup_div: float = 10.0) -> Callable:
+    """LR(step): base * decay^(#milestones passed), floored at lr_clip; optional
+    cosine warmup from base/warmup_div (reference: solver/__init__.py:64-92)."""
+
+    decay_steps = list(decay_steps)
+
+    def schedule(step):
+        step = jnp.asarray(step)
+        factor = jnp.ones_like(step, dtype=jnp.float32)
+        for s in decay_steps:
+            factor = factor * jnp.where(step >= s, decay, 1.0)
+        lr = jnp.maximum(base_lr * factor, lr_clip)
+        if warmup_steps > 0:
+            eta_min = base_lr / warmup_div
+            warm = eta_min + (base_lr - eta_min) * 0.5 * (
+                1 + jnp.cos(math.pi * step / warmup_steps + math.pi))
+            lr = jnp.where(step < warmup_steps, warm, lr)
+        return lr
+
+    return schedule
+
+
+def one_cycle_schedule(base_lr: float, total_steps: int, div_factor: float = 10.0,
+                       pct_start: float = 0.4) -> Callable:
+    """Cosine one-cycle: base/div -> base over pct_start, back down to
+    base/(div*1e4) (reference: solver/learning_schedules_fastai.py:60-79)."""
+    up = max(1, int(total_steps * pct_start))
+    down = max(1, total_steps - up)
+    low = base_lr / div_factor
+    final = base_lr / (div_factor * 1e4)
+
+    def cos_interp(a, b, t):
+        # t=0 -> a, t=1 -> b along a half cosine
+        return b + (a - b) * 0.5 * (1 + jnp.cos(math.pi * t))
+
+    def schedule(step):
+        step = jnp.asarray(step, dtype=jnp.float32)
+        t_up = jnp.clip(step / up, 0.0, 1.0)
+        t_down = jnp.clip((step - up) / down, 0.0, 1.0)
+        return jnp.where(step < up, cos_interp(low, base_lr, t_up),
+                         cos_interp(base_lr, final, t_down))
+
+    return schedule
+
+
+def _bias_mask(params) -> dict:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: any(getattr(k, "key", None) == "bias" for k in path), params)
+
+
+def build_optimizer(cfg, params, steps_per_epoch: int = 1):
+    """Returns (optax transform, schedule fn). Decay milestones given in
+    epochs are converted to iterations by the caller via steps_per_epoch."""
+    s = cfg.SOLVER
+    if s.EVAL_AND_SAVE_EPOCH:
+        decay_iters = [e * steps_per_epoch for e in s.DECAY_EPOCH_STEPS]
+        warmup = s.WARMUP_EPOCH * steps_per_epoch if s.LR_WARMUP else 0
+    else:
+        decay_iters = list(s.STEPS)
+        warmup = s.WARMUP_STEPS if s.LR_WARMUP else 0
+
+    name = s.OPTIMIZER
+    if name == "adam_onecycle":
+        schedule = one_cycle_schedule(s.BASE_LR, s.MAX_ITERATION, s.DIV_FACTOR, s.PCT_START)
+    else:
+        schedule = multi_step_schedule(s.BASE_LR, decay_iters, s.LR_DECAY, s.LR_CLIP,
+                                       warmup, s.DIV_FACTOR)
+
+    def lr_factor_schedule(step):
+        return schedule(step) / s.BASE_LR
+
+    bias_mask = _bias_mask(params)
+
+    if name in ("adamw", "adam_onecycle"):
+        base = optax.adamw(learning_rate=schedule, b1=0.9, b2=0.99,
+                           weight_decay=s.WEIGHT_DECAY)
+    elif name == "adam":
+        # torch Adam couples weight decay into the gradient (L2), unlike AdamW
+        base = optax.chain(optax.add_decayed_weights(s.WEIGHT_DECAY),
+                           optax.adam(learning_rate=schedule, b1=0.9, b2=0.99))
+    elif name == "sgd":
+        base = optax.chain(optax.add_decayed_weights(s.WEIGHT_DECAY),
+                           optax.sgd(learning_rate=schedule, momentum=0.9))
+    else:
+        raise NotImplementedError(name)
+
+    # bias params get BIAS_LR_FACTOR x lr (reference: solver/__init__.py:22)
+    tx = optax.chain(
+        base,
+        optax.masked(optax.scale(s.BIAS_LR_FACTOR), bias_mask),
+    )
+    if s.GRAD_NORM_CLIP > 0:
+        tx = optax.chain(optax.clip_by_global_norm(s.GRAD_NORM_CLIP), tx)
+    return tx, schedule

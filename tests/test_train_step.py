@@ -1,0 +1,128 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monoflex_tpu.config import get_cfg_defaults
+from monoflex_tpu.data.synthetic import make_dummy_batch
+from monoflex_tpu.losses.loss_computation import LossComputer
+from monoflex_tpu.models.detector import build_model
+from monoflex_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from monoflex_tpu.train.solver import build_optimizer, multi_step_schedule, one_cycle_schedule
+from monoflex_tpu.train.train_step import (TrainState, create_train_state,
+                                           make_eval_step, make_train_step)
+
+RUN_YAML = os.path.join(os.path.dirname(__file__), "..", "runs", "monoflex.yaml")
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    c = get_cfg_defaults()
+    c.merge_from_file(RUN_YAML)
+    return c
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(cfg):
+    model = build_model(cfg)
+    batch_np = make_dummy_batch(2, input_height=64, input_width=128, n_valid=2)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    batch0 = {k: v[:1] for k, v in batch.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch0["image"],
+                           batch0["edge_indices"], batch0["edge_len"], train=False)
+    tx, schedule = build_optimizer(cfg, variables["params"], steps_per_epoch=10)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+    return model, tx, state, batch
+
+
+def test_schedules():
+    sched = multi_step_schedule(3e-4, [800, 900], 0.1, 1e-7)
+    assert float(sched(0)) == pytest.approx(3e-4)
+    assert float(sched(850)) == pytest.approx(3e-5)
+    assert float(sched(950)) == pytest.approx(3e-6)
+
+    oc = one_cycle_schedule(3e-4, 1000, div_factor=10, pct_start=0.4)
+    assert float(oc(0)) == pytest.approx(3e-5)
+    assert float(oc(400)) == pytest.approx(3e-4, rel=1e-3)
+    assert float(oc(1000)) < 1e-6
+
+
+def test_train_step_decreases_loss(cfg, tiny_setup):
+    model, tx, state, batch = tiny_setup
+    loss_computer = LossComputer(cfg)
+    step = jax.jit(make_train_step(model, loss_computer, tx))
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["total_loss"]))
+        assert np.isfinite(losses[-1])
+    assert int(state.step) == 4
+    assert losses[-1] < losses[0]  # same batch -> loss must drop
+
+
+def test_nonfinite_batch_skips_update(cfg, tiny_setup):
+    model, tx, state, batch = tiny_setup
+    loss_computer = LossComputer(cfg)
+    step = jax.jit(make_train_step(model, loss_computer, tx))
+    bad = dict(batch)
+    bad["image"] = batch["image"].at[0, 0, 0, 0].set(jnp.nan)
+    new_state, metrics = step(state, bad)
+    assert float(metrics["skipped"]) == 1.0
+    # params unchanged
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(new_state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    assert int(new_state.step) == int(state.step) + 1
+
+
+def test_eval_step(cfg, tiny_setup):
+    from monoflex_tpu.decode.postprocessor import PostProcessor
+
+    model, tx, state, batch = tiny_setup
+    eval_step = jax.jit(make_eval_step(model, PostProcessor(cfg)),
+                        static_argnames="output_depth")
+    result, valid, extras = eval_step(state, batch)
+    assert result.shape == (2, 50, 14)
+    assert valid.shape == (2, 50)
+
+
+def test_multichip_mesh_train_step(cfg):
+    """Full data-parallel step over the virtual 8-device CPU mesh."""
+    assert len(jax.devices()) == 8
+    model = build_model(cfg)
+    loss_computer = LossComputer(cfg)
+    batch_np = make_dummy_batch(8, input_height=64, input_width=128, n_valid=2)
+
+    mesh = make_mesh(8)
+    batch0 = {k: jnp.asarray(v[:1]) for k, v in batch_np.items()}
+    variables = model.init(jax.random.PRNGKey(0), batch0["image"],
+                           batch0["edge_indices"], batch0["edge_len"], train=False)
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+    state = jax.device_put(state, replicated(mesh))
+    step = jax.jit(make_train_step(model, loss_computer, tx))
+    batch = shard_batch(batch_np, mesh)
+    with mesh:
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # sharded-batch BN == global-batch BN (SyncBN for free under GSPMD)
+    single_state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                              batch_stats=variables["batch_stats"],
+                              opt_state=tx.init(variables["params"]))
+    s2, m2 = jax.jit(make_train_step(model, loss_computer, tx))(
+        single_state, {k: jnp.asarray(v) for k, v in batch_np.items()})
+    np.testing.assert_allclose(float(metrics["total_loss"]), float(m2["total_loss"]),
+                               rtol=2e-4)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
