@@ -1,0 +1,68 @@
+"""Benchmark harness: end-to-end inference throughput on the flagship model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md); the
+MonoFlex paper era reports ~0.03 s/img on a V100-class GPU, i.e. ~33 img/s,
+which we use as the vs_baseline denominator for single-chip inference.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+V100_BASELINE_IMG_PER_S = 33.0
+
+
+def main():
+    from monoflex_tpu.config import get_cfg_defaults
+    from monoflex_tpu.data.synthetic import make_dummy_batch
+    from monoflex_tpu.decode.postprocessor import PostProcessor
+    from monoflex_tpu.models.detector import build_model
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "runs", "monoflex.yaml"))
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    model = build_model(cfg)
+    post = PostProcessor(cfg)
+
+    batch = {k: jnp.asarray(v) for k, v in make_dummy_batch(batch_size).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                           batch["edge_indices"], batch["edge_len"], train=False)
+
+    @jax.jit
+    def infer(variables, batch):
+        out = model.apply(variables, batch["image"], batch["edge_indices"],
+                          batch["edge_len"], train=False)
+        result, valid, _ = post(out, batch)
+        return result, valid
+
+    # warmup + compile
+    r, v = infer(variables, batch)
+    jax.block_until_ready(r)
+
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    start = time.perf_counter()
+    for _ in range(iters):
+        r, v = infer(variables, batch)
+    jax.block_until_ready(r)
+    elapsed = time.perf_counter() - start
+
+    img_per_s = batch_size * iters / elapsed
+    print(json.dumps({
+        "metric": "inference_images_per_sec_per_chip",
+        "value": round(img_per_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_s / V100_BASELINE_IMG_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
