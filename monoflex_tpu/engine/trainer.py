@@ -1,0 +1,137 @@
+"""Training orchestration loop.
+
+Re-design of the reference trainer (reference: engine/trainer.py:61-225):
+iteration-based loop over an infinite loader, windowed metric logging with
+ETA, periodic checkpointing, periodic evaluation with best-model gating on
+``Car_3d_0.70/moderate`` (AP R40), and scalar logging to TensorBoard when
+available (JSONL always).
+
+The device-side work is a single jitted train step (train_step.py); this
+module only moves host batches, logs, and checkpoints.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import shard_batch
+from ..train.checkpoint import Checkpointer
+from ..utils.metric_logger import MetricLogger
+from .inference import inference
+
+DEFAULT_KEY_METRIC = "Car_3d_0.70/moderate"
+
+
+class ScalarWriter:
+    """TensorBoard if torch is importable, JSONL always."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir=log_dir)
+        except Exception:
+            pass
+
+    def write(self, step: int, scalars: Dict[str, float], prefix: str = "") -> None:
+        record = {"step": step}
+        for k, v in scalars.items():
+            key = f"{prefix}{k}"
+            record[key] = float(v)
+            if self.tb is not None:
+                self.tb.add_scalar(key, float(v), step)
+        self.jsonl.write(json.dumps(record) + "\n")
+        self.jsonl.flush()
+
+    def close(self) -> None:
+        self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
+
+
+def do_train(cfg, model, train_step, eval_step, state, train_loader,
+             eval_dataset=None, mesh=None, schedule=None,
+             logger: Optional[logging.Logger] = None,
+             max_iter: Optional[int] = None,
+             start_iter: int = 0) -> "object":
+    logger = logger or logging.getLogger("monoflex.trainer")
+    output_dir = cfg.OUTPUT_DIR
+    writer = ScalarWriter(os.path.join(output_dir, "tensorboard"))
+    checkpointer = Checkpointer(os.path.join(output_dir, "ckpt"),
+                                cfg.SOLVER.LOAD_OPTIMIZER_SCHEDULER)
+
+    steps_per_epoch = max(1, len(train_loader.dataset) // cfg.SOLVER.IMS_PER_BATCH)
+    if max_iter is None:
+        if cfg.SOLVER.EVAL_AND_SAVE_EPOCH:
+            max_iter = cfg.SOLVER.MAX_EPOCHS * steps_per_epoch
+            eval_interval = cfg.SOLVER.EVAL_EPOCH_INTERVAL * steps_per_epoch
+            save_interval = cfg.SOLVER.SAVE_CHECKPOINT_EPOCH_INTERVAL * steps_per_epoch
+        else:
+            max_iter = cfg.SOLVER.MAX_ITERATION
+            eval_interval = cfg.SOLVER.EVAL_INTERVAL
+            save_interval = cfg.SOLVER.SAVE_CHECKPOINT_INTERVAL
+    else:
+        eval_interval = cfg.SOLVER.EVAL_INTERVAL
+        save_interval = cfg.SOLVER.SAVE_CHECKPOINT_INTERVAL
+
+    meters = MetricLogger()
+    best_ap = -1.0
+    iteration = start_iter
+    data_iter = iter(train_loader)
+    logger.info(f"start training: {max_iter} iterations "
+                f"({steps_per_epoch} steps/epoch)")
+    end = time.time()
+
+    while iteration < max_iter:
+        batch = next(data_iter)
+        data_time = time.time() - end
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        state, metrics = train_step(state, batch)
+        iteration += 1
+
+        if iteration % 10 == 0 or iteration == max_iter:
+            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            batch_time = time.time() - end
+            meters.update(time=batch_time, data=data_time, **metrics)
+            eta = datetime.timedelta(
+                seconds=int(meters.meters["time"].global_avg * (max_iter - iteration)))
+            lr = float(schedule(iteration)) if schedule is not None else float("nan")
+            logger.info(f"iter {iteration}/{max_iter}  eta: {eta}  {meters}  lr: {lr:.6f}")
+            writer.write(iteration, metrics, prefix="train/")
+            if schedule is not None:
+                writer.write(iteration, {"lr": lr})
+        end = time.time()
+
+        if iteration % save_interval == 0 and iteration != max_iter:
+            checkpointer.save(f"model_checkpoint_{iteration}", state)
+
+        if eval_dataset is not None and iteration % eval_interval == 0:
+            logger.info(f"evaluating at iteration {iteration}")
+            results = inference(cfg, eval_step, state, eval_dataset,
+                                os.path.join(output_dir, f"eval_{iteration}"),
+                                metrics=cfg.TEST.METRIC, logger=logger)
+            writer.write(iteration, {k: v for k, v in results.items()
+                                     if isinstance(v, (int, float))}, prefix="eval/")
+            key_ap = results.get(DEFAULT_KEY_METRIC, None)
+            if key_ap is not None and key_ap >= best_ap:
+                best_ap = key_ap
+                checkpointer.save(f"model_moderate_best_{cfg.MODEL.HEAD.OUTPUT_DEPTH}",
+                                  state, tag_last=False)
+                logger.info(f"new best {DEFAULT_KEY_METRIC}: {best_ap:.4f}")
+
+    checkpointer.save("model_final", state)
+    writer.close()
+    logger.info(f"training done; best {DEFAULT_KEY_METRIC}: {best_ap:.4f}")
+    return state

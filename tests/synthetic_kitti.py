@@ -33,7 +33,7 @@ def _label_line(cls, trunc, occ, box2d, h, w, l, t, ry):
             f"{h:.2f} {w:.2f} {l:.2f} {t[0]:.2f} {t[1]:.2f} {t[2]:.2f} {ry:.2f}")
 
 
-def project_box(P, t, h, w, l, ry):
+def project_box(P, t, h, w, l, ry, img_w=IMG_W, img_h=IMG_H):
     x_c = np.array([l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2, -l / 2, -l / 2])
     y_c = np.array([0.0, 0, 0, 0, -h, -h, -h, -h])
     z_c = np.array([w / 2, -w / 2, -w / 2, w / 2, w / 2, -w / 2, -w / 2, w / 2])
@@ -45,7 +45,7 @@ def project_box(P, t, h, w, l, ry):
     uv = uvz[:, :2] / uvz[:, 2:3]
     return np.array([
         max(uv[:, 0].min(), 0), max(uv[:, 1].min(), 0),
-        min(uv[:, 0].max(), IMG_W - 1), min(uv[:, 1].max(), IMG_H - 1),
+        min(uv[:, 0].max(), img_w - 1), min(uv[:, 1].max(), img_h - 1),
     ])
 
 
@@ -67,20 +67,27 @@ SCENES = {
 }
 
 
-def make_synthetic_kitti(root: str, frames=None, seed: int = 0):
+def make_synthetic_kitti(root: str, frames=None, seed: int = 0, scale: int = 1):
+    """scale > 1 shrinks images and intrinsics by that factor (tiny fast sets)."""
     frames = frames or list(SCENES.keys())
     rng = np.random.RandomState(seed)
     for sub in ["image_2", "image_3", "label_2", "calib", "ImageSets"]:
         os.makedirs(os.path.join(root, sub), exist_ok=True)
 
+    img_w, img_h = IMG_W // scale, IMG_H // scale
+    p2 = P2.copy()
+    p3 = P3.copy()
+    p2[:2] /= scale
+    p3[:2] /= scale
+
     for frame in frames:
-        img = (rng.rand(IMG_H, IMG_W, 3) * 255).astype(np.uint8)
+        img = (rng.rand(img_h, img_w, 3) * 255).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(root, "image_2", frame + ".png"))
         Image.fromarray(img[:, ::-1]).save(os.path.join(root, "image_3", frame + ".png"))
 
         lines = []
         for cls, trunc, occ, h, w, l, t, ry in SCENES.get(frame, []):
-            box2d = project_box(P2, t, h, w, l, ry)
+            box2d = project_box(p2, t, h, w, l, ry, img_w, img_h)
             lines.append(_label_line(cls, trunc, occ, box2d, h, w, l, t, ry))
         lines.append("DontCare -1 -1 -10 100.0 150.0 120.0 180.0 -1 -1 -1 -1000 -1000 -1000 -10")
         with open(os.path.join(root, "label_2", frame + ".txt"), "w") as f:
@@ -90,7 +97,7 @@ def make_synthetic_kitti(root: str, frames=None, seed: int = 0):
             return " ".join(f"{v:.12e}" for v in np.asarray(M).reshape(-1))
 
         with open(os.path.join(root, "calib", frame + ".txt"), "w") as f:
-            f.write(f"P0: {fmt(P2)}\nP1: {fmt(P2)}\nP2: {fmt(P2)}\nP3: {fmt(P3)}\n")
+            f.write(f"P0: {fmt(p2)}\nP1: {fmt(p2)}\nP2: {fmt(p2)}\nP3: {fmt(p3)}\n")
             f.write(f"R0_rect: {fmt(R0)}\nTr_velo_to_cam: {fmt(V2C)}\n")
             f.write(f"Tr_imu_to_velo: {fmt(V2C)}\n")
 
