@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ...ops.dcn import modulated_deform_conv
+from ...ops.dcn import modulated_deform_conv, modulated_deform_conv_shift
 
 BN_MOMENTUM = 0.9  # flax momentum = 1 - torch momentum (torch uses 0.1)
 
@@ -175,13 +175,19 @@ def _kaiming_uniform_dcn(key, shape, dtype=jnp.float32):
 
 class DCN(nn.Module):
     """Deformable conv whose offsets/masks come from a zero-initialised conv
-    on the same input (reference: model/backbone/DCNv2/dcn_v2.py:97-128)."""
+    on the same input (reference: model/backbone/DCNv2/dcn_v2.py:97-128).
+
+    ``impl``: "shift" (gather-free, TPU-fast, offsets bounded by max_offset),
+    "gather" (exact XLA gather path, unbounded offsets, slow on TPU).
+    """
 
     features: int
     kernel: int = 3
     stride: int = 1
     padding: int = 1
     dilation: int = 1
+    impl: str = "shift"
+    max_offset: int = 8
 
     @nn.compact
     def __call__(self, x):
@@ -200,6 +206,10 @@ class DCN(nn.Module):
         weight = self.param("kernel", _kaiming_uniform_dcn,
                             (self.kernel, self.kernel, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if (self.impl == "shift" and self.stride == 1 and self.dilation == 1
+                and self.kernel == 3):
+            return modulated_deform_conv_shift(x, offset, mask, weight, bias,
+                                               max_offset=self.max_offset)
         return modulated_deform_conv(
             x, offset, mask, weight, bias,
             stride=self.stride, padding=self.padding, dilation=self.dilation)

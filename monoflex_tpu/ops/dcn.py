@@ -110,6 +110,80 @@ def modulated_deform_conv(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray
     return out.astype(x.dtype)
 
 
+def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """x[:, y+dy, x+dx, :] with zero padding, static (dy, dx)."""
+    B, H, W, C = x.shape
+    py_lo, py_hi = max(0, -dy), max(0, dy)
+    px_lo, px_hi = max(0, -dx), max(0, dx)
+    padded = jnp.pad(x, ((0, 0), (py_lo, py_hi), (px_lo, px_hi), (0, 0)))
+    return jax.lax.dynamic_slice(
+        padded, (0, py_lo + dy, px_lo + dx, 0), (B, H, W, C))
+
+
+def modulated_deform_conv_shift(x: jnp.ndarray, offset: jnp.ndarray,
+                                mask: jnp.ndarray, weight: jnp.ndarray,
+                                bias: jnp.ndarray | None = None,
+                                max_offset: int = 3) -> jnp.ndarray:
+    """Gather-free DCNv2 for TPU (stride 1, dilation 1, 3x3 only).
+
+    XLA's generic row-gather is ~40x slower than a conv on TPU, so instead of
+    gathering the 4 bilinear corners we expand each deformable sample as a sum
+    over a bounded window of STATIC spatial shifts weighted by per-pixel hat
+    functions:
+
+        sample_k(p) = sum_{dy, dx} hat(oy_k + ky - dy) * hat(ox_k + kx - dx)
+                                   * x[p + (dy, dx)]
+
+    with hat(t) = max(0, 1 - |t|).  Every term is a dense static shift times
+    an elementwise weight -> the whole thing fuses onto the VPU, and the
+    per-tap contraction onto the MXU.  The weights are non-separable (they
+    depend on the OUTPUT pixel), so the window is quadratic: (2R+3)^2 fused
+    passes per tap.
+
+    Learned offsets are clamped to [-max_offset, max_offset] feature-map
+    pixels (a TPU-design deviation: the reference CUDA kernel is unbounded,
+    but trained DCN offsets in this architecture stay within a couple of
+    pixels — the default bound of 3 at stride 4 corresponds to 12 image
+    pixels).  The exact unbounded semantics remain available via the gather
+    path (modulated_deform_conv).
+    """
+    B, H, W, C = x.shape
+    kh, kw, _, Co = weight.shape
+    assert (kh, kw) == (3, 3), "shift-DCN specialized for 3x3"
+    R = max_offset
+
+    oy = jnp.clip(offset[..., 0::2], -R, R)      # (B, H, W, 9)
+    ox = jnp.clip(offset[..., 1::2], -R, R)
+
+    def hat(t):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+    acc_t = jnp.promote_types(x.dtype, jnp.float32)
+    out = jnp.zeros((B, H, W, Co), dtype=acc_t)
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+        oy_k = oy[..., k]
+        ox_k = ox[..., k]
+        s = None
+        for dy in range(ky - R - 1, ky + R + 2):
+            wy = hat(oy_k + ky - dy)
+            row = None
+            for dx in range(kx - R - 1, kx + R + 2):
+                w = (wy * hat(ox_k + kx - dx))[..., None].astype(x.dtype)
+                term = _shift2d(x, dy, dx) * w
+                row = term if row is None else row + term
+            s = row if s is None else s + row
+        s = s * mask[..., k: k + 1]
+        out = out + jax.lax.dot_general(
+            s.reshape(B * H * W, C), weight[k // 3, k % 3],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_t,
+        ).reshape(B, H, W, Co)
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
 def plain_conv_equivalent(x: jnp.ndarray, weight: jnp.ndarray,
                           bias: jnp.ndarray | None = None, stride: int = 1,
                           padding: int = 1, dilation: int = 1) -> jnp.ndarray:

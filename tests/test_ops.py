@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 from monoflex_tpu.ops.dcn import (bilinear_gather, modulated_deform_conv,
+                                  modulated_deform_conv_shift,
                                   plain_conv_equivalent)
 from monoflex_tpu.ops.image_ops import (nms_hm, scatter_add_edge,
                                         select_point_of_interest, select_topk,
@@ -104,6 +105,53 @@ class TestDCN:
                     fd = (float(f(*args_p)) - float(f(*args_m))) / (2 * eps)
                     an = float(np.asarray(grads[argi]).reshape(-1)[j])
                     assert abs(fd - an) < 1e-4, f"arg {argi} idx {j}: fd={fd} an={an}"
+
+
+class TestShiftDCN:
+    """The gather-free TPU formulation must match the exact gather path."""
+
+    def _inputs(self, seed=0, off_scale=2.0):
+        rng = np.random.RandomState(seed)
+        x = jnp.asarray(rng.randn(2, 12, 16, 8).astype(np.float32))
+        off = jnp.asarray((rng.randn(2, 12, 16, 18) * off_scale).astype(np.float32))
+        mask = jnp.asarray(rng.rand(2, 12, 16, 9).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 8, 6).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(6).astype(np.float32))
+        return x, off, mask, w, b
+
+    def test_matches_gather_path(self):
+        x, off, mask, w, b = self._inputs()
+        ref = modulated_deform_conv(x, off, mask, w, b)
+        out = modulated_deform_conv_shift(x, off, mask, w, b, max_offset=8)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_zero_offset_equals_conv(self):
+        x, off, mask, w, b = self._inputs()
+        out = modulated_deform_conv_shift(x, jnp.zeros_like(off),
+                                          jnp.ones_like(mask), w, b, max_offset=4)
+        ref = plain_conv_equivalent(x, w, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    def test_clamps_large_offsets(self):
+        x, off, mask, w, b = self._inputs(off_scale=1.0)
+        big = off + 100.0
+        out = modulated_deform_conv_shift(x, big, mask, w, b, max_offset=4)
+        ref = modulated_deform_conv(x, jnp.clip(big, -4, 4), mask, w, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    def test_gradients_match_gather_path(self):
+        x, off, mask, w, b = self._inputs(off_scale=1.0)
+
+        def total(fn):
+            def f(x_, off_, w_):
+                return jnp.sum(jnp.sin(fn(x_, off_, mask, w_, b)))
+            return f
+
+        g_ref = jax.grad(total(lambda *a: modulated_deform_conv(*a)), argnums=(0, 1, 2))(x, off, w)
+        g_out = jax.grad(total(lambda x_, o_, m_, w_, b_: modulated_deform_conv_shift(
+            x_, o_, m_, w_, b_, max_offset=8)), argnums=(0, 1, 2))(x, off, w)
+        for a, b_ in zip(g_ref, g_out):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=5e-4)
 
 
 class TestImageOps:
