@@ -167,3 +167,61 @@ def test_label_round_trip(tmp_path):
     np.testing.assert_allclose(anno["location"][0], [2.0, 1.6, 20.0], atol=1e-5)
     np.testing.assert_allclose(anno["score"][0], 0.88, atol=1e-5)
     np.testing.assert_allclose(anno["rotation_y"][0], 0.7, atol=1e-5)
+
+
+class TestNativeKernels:
+    """C++ kernels must agree with the numpy reference implementation."""
+
+    def _have_native(self):
+        from monoflex_tpu.native import load_native
+        return load_native() is not None
+
+    def test_rotate_iou_matches_numpy(self):
+        if not self._have_native():
+            pytest.skip("no native lib")
+        from monoflex_tpu.eval import rotate_iou as R
+        from monoflex_tpu.native import rotate_iou_eval_native
+
+        rng = np.random.RandomState(0)
+        boxes = np.stack([rng.uniform(-10, 10, 40), rng.uniform(0, 60, 40),
+                          rng.uniform(1, 5, 40), rng.uniform(1, 3, 40),
+                          rng.uniform(-3, 3, 40)], axis=1)
+        qboxes = boxes + rng.randn(40, 5) * 0.5
+        # numpy path (bypass native shortcut by calling internals)
+        expect = np.zeros((40, 40))
+        ca = R.box_corners(boxes)
+        cb = R.box_corners(qboxes)
+        for i in range(40):
+            for j in range(40):
+                poly = R._clip_polygon(ca[i], cb[j])
+                inter = R._polygon_area(poly) if len(poly) >= 3 else 0.0
+                denom = boxes[i, 2] * boxes[i, 3] + qboxes[j, 2] * qboxes[j, 3] - inter
+                expect[i, j] = inter / denom if denom > 0 else 0.0
+        got = rotate_iou_eval_native(boxes, qboxes, -1)
+        np.testing.assert_allclose(got, expect, atol=1e-9)
+
+    def test_d3_overlap_against_known(self):
+        if not self._have_native():
+            pytest.skip("no native lib")
+        from monoflex_tpu.native import d3_box_overlap_native
+
+        a = np.array([[0.0, 1.0, 20.0, 4.0, 2.0, 2.0, 0.0]])
+        b = np.array([[0.0, 2.0, 20.0, 4.0, 2.0, 2.0, 0.0]])
+        np.testing.assert_allclose(d3_box_overlap_native(a, b), [[8 / 24]], atol=1e-9)
+
+    def test_image_overlap_matches_numpy(self):
+        if not self._have_native():
+            pytest.skip("no native lib")
+        from monoflex_tpu.eval.rotate_iou import image_box_overlap
+        from monoflex_tpu.native import image_box_overlap_native
+
+        rng = np.random.RandomState(1)
+        x1 = rng.uniform(0, 100, (30, 1)); y1 = rng.uniform(0, 100, (30, 1))
+        boxes = np.concatenate([x1, y1, x1 + rng.uniform(5, 50, (30, 1)),
+                                y1 + rng.uniform(5, 50, (30, 1))], axis=1)
+        q = boxes + rng.randn(30, 4) * 3
+        q[:, 2] = np.maximum(q[:, 2], q[:, 0] + 1)
+        q[:, 3] = np.maximum(q[:, 3], q[:, 1] + 1)
+        for crit in (-1, 0, 1):
+            np.testing.assert_allclose(image_box_overlap_native(boxes, q, crit),
+                                       image_box_overlap(boxes, q, crit), atol=1e-12)
