@@ -206,8 +206,12 @@ class DCN(nn.Module):
         weight = self.param("kernel", _kaiming_uniform_dcn,
                             (self.kernel, self.kernel, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        if (self.impl == "shift" and self.stride == 1 and self.dilation == 1
-                and self.kernel == 3):
+        simple_geom = (self.stride == 1 and self.dilation == 1 and self.kernel == 3)
+        if self.impl == "pallas" and simple_geom:
+            from ...ops.dcn_pallas_bwd import dcn_pallas_vjp
+
+            return dcn_pallas_vjp(x, offset, mask, weight, bias, self.max_offset)
+        if self.impl == "shift" and simple_geom:
             return modulated_deform_conv_shift(x, offset, mask, weight, bias,
                                                max_offset=self.max_offset)
         return modulated_deform_conv(
@@ -219,10 +223,12 @@ class DeformConvBlock(nn.Module):
     """DCN -> BN -> ReLU (reference: model/backbone/dla_dcn.py:384-396)."""
 
     features: int
+    dcn_impl: str = "shift"
+    max_offset: int = 3
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = DCN(self.features)(x)
+        x = DCN(self.features, impl=self.dcn_impl, max_offset=self.max_offset)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=1e-5)(x)
         return nn.relu(x)
@@ -272,15 +278,18 @@ class IDAUp(nn.Module):
 
     out_channels: int
     up_factors: Sequence[int]
+    dcn_impl: str = "shift"
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
         layers = list(layers)
         for i in range(1, len(layers)):
             f = int(self.up_factors[i])
-            proj = DeformConvBlock(self.out_channels, name=f"proj_{i}")(layers[i], train=train)
+            proj = DeformConvBlock(self.out_channels, dcn_impl=self.dcn_impl,
+                                   name=f"proj_{i}")(layers[i], train=train)
             up = BilinearUp(f, name=f"up_{i}")(proj) if f > 1 else proj
-            layers[i] = DeformConvBlock(self.out_channels, name=f"node_{i}")(
+            layers[i] = DeformConvBlock(self.out_channels, dcn_impl=self.dcn_impl,
+                                        name=f"node_{i}")(
                 up + layers[i - 1], train=train)
         return layers
 
@@ -291,6 +300,7 @@ class DLAUp(nn.Module):
 
     channels: Sequence[int]          # channels of the input pyramid slice
     scales: Sequence[int]
+    dcn_impl: str = "shift"
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
@@ -300,7 +310,8 @@ class DLAUp(nn.Module):
         out = [layers[-1]]
         for i in range(len(layers) - 1):
             j = -i - 2
-            ida = IDAUp(channels[j], (scales[j:] // scales[j]).tolist(), name=f"ida_{i}")
+            ida = IDAUp(channels[j], (scales[j:] // scales[j]).tolist(),
+                        dcn_impl=self.dcn_impl, name=f"ida_{i}")
             merged = ida(layers[j:], train=train)
             layers[j:] = merged
             scales[j + 1:] = scales[j]
@@ -317,6 +328,7 @@ class DLASeg(nn.Module):
     last_level: int = 5
     levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
     channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
+    dcn_impl: str = "shift"
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> jnp.ndarray:
@@ -325,16 +337,27 @@ class DLASeg(nn.Module):
 
         ch = list(self.channels[first_level:])
         scales = [2 ** i for i in range(len(ch))]
-        pyramid = DLAUp(ch, scales, name="dla_up")(feats[first_level:], train=train)
+        pyramid = DLAUp(ch, scales, dcn_impl=self.dcn_impl,
+                        name="dla_up")(feats[first_level:], train=train)
 
         n_final = self.last_level - first_level
         y = [pyramid[i] for i in range(n_final)]
         y = IDAUp(self.channels[first_level],
-                  [2 ** i for i in range(n_final)], name="ida_up")(y, train=train)
+                  [2 ** i for i in range(n_final)], dcn_impl=self.dcn_impl,
+                  name="ida_up")(y, train=train)
         return y[-1]
+
+
+def default_dcn_impl(use_pallas: bool = True) -> str:
+    """Platform-appropriate DCN implementation: the Pallas kernel on TPU, the
+    exact XLA gather path elsewhere (CPU/GPU gathers are fine)."""
+    if jax.default_backend() == "tpu":
+        return "pallas" if use_pallas else "shift"
+    return "gather"
 
 
 def build_backbone(cfg) -> DLASeg:
     if cfg.MODEL.BACKBONE.CONV_BODY != "dla34":
         raise NotImplementedError(cfg.MODEL.BACKBONE.CONV_BODY)
-    return DLASeg(down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO)
+    return DLASeg(down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
+                  dcn_impl=default_dcn_impl(cfg.TPU.USE_PALLAS_DCN))
