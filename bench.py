@@ -17,6 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Pallas/Mosaic kernels compile slowly on this target; the persistent cache
+# makes warm runs start in seconds.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 V100_BASELINE_IMG_PER_S = 33.0
 
 

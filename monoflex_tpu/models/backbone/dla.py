@@ -187,7 +187,7 @@ class DCN(nn.Module):
     padding: int = 1
     dilation: int = 1
     impl: str = "shift"
-    max_offset: int = 8
+    max_offset: int = 2
 
     @nn.compact
     def __call__(self, x):
@@ -224,7 +224,7 @@ class DeformConvBlock(nn.Module):
 
     features: int
     dcn_impl: str = "shift"
-    max_offset: int = 3
+    max_offset: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -279,6 +279,7 @@ class IDAUp(nn.Module):
     out_channels: int
     up_factors: Sequence[int]
     dcn_impl: str = "shift"
+    dcn_max_offset: int = 2
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
@@ -286,9 +287,11 @@ class IDAUp(nn.Module):
         for i in range(1, len(layers)):
             f = int(self.up_factors[i])
             proj = DeformConvBlock(self.out_channels, dcn_impl=self.dcn_impl,
+                                   max_offset=self.dcn_max_offset,
                                    name=f"proj_{i}")(layers[i], train=train)
             up = BilinearUp(f, name=f"up_{i}")(proj) if f > 1 else proj
             layers[i] = DeformConvBlock(self.out_channels, dcn_impl=self.dcn_impl,
+                                        max_offset=self.dcn_max_offset,
                                         name=f"node_{i}")(
                 up + layers[i - 1], train=train)
         return layers
@@ -301,6 +304,7 @@ class DLAUp(nn.Module):
     channels: Sequence[int]          # channels of the input pyramid slice
     scales: Sequence[int]
     dcn_impl: str = "shift"
+    dcn_max_offset: int = 2
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
@@ -311,7 +315,8 @@ class DLAUp(nn.Module):
         for i in range(len(layers) - 1):
             j = -i - 2
             ida = IDAUp(channels[j], (scales[j:] // scales[j]).tolist(),
-                        dcn_impl=self.dcn_impl, name=f"ida_{i}")
+                        dcn_impl=self.dcn_impl, dcn_max_offset=self.dcn_max_offset,
+                        name=f"ida_{i}")
             merged = ida(layers[j:], train=train)
             layers[j:] = merged
             scales[j + 1:] = scales[j]
@@ -329,6 +334,7 @@ class DLASeg(nn.Module):
     levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
     channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
     dcn_impl: str = "shift"
+    dcn_max_offset: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> jnp.ndarray:
@@ -338,12 +344,14 @@ class DLASeg(nn.Module):
         ch = list(self.channels[first_level:])
         scales = [2 ** i for i in range(len(ch))]
         pyramid = DLAUp(ch, scales, dcn_impl=self.dcn_impl,
+                        dcn_max_offset=self.dcn_max_offset,
                         name="dla_up")(feats[first_level:], train=train)
 
         n_final = self.last_level - first_level
         y = [pyramid[i] for i in range(n_final)]
         y = IDAUp(self.channels[first_level],
                   [2 ** i for i in range(n_final)], dcn_impl=self.dcn_impl,
+                  dcn_max_offset=self.dcn_max_offset,
                   name="ida_up")(y, train=train)
         return y[-1]
 
@@ -360,4 +368,5 @@ def build_backbone(cfg) -> DLASeg:
     if cfg.MODEL.BACKBONE.CONV_BODY != "dla34":
         raise NotImplementedError(cfg.MODEL.BACKBONE.CONV_BODY)
     return DLASeg(down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
-                  dcn_impl=default_dcn_impl(cfg.TPU.USE_PALLAS_DCN))
+                  dcn_impl=default_dcn_impl(cfg.TPU.USE_PALLAS_DCN),
+                  dcn_max_offset=cfg.TPU.DCN_MAX_OFFSET)
