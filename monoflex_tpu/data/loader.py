@@ -45,6 +45,77 @@ class TrainingSampler:
             epoch += 1
 
 
+class RepeatFactorTrainingSampler:
+    """LVIS-style category-rebalancing sampler: images with rare categories
+    are repeated with factor max_c sqrt(t / f_c)
+    (reference: data/samplers/distributed_sampler.py:60-172; unused by the
+    shipped config but part of the sampler API)."""
+
+    def __init__(self, repeat_factors, shuffle: bool = True, seed: int = 0,
+                 rank: int = 0, world_size: int = 1):
+        self.rank = rank
+        self.world_size = world_size
+        self.shuffle = shuffle
+        self.seed = seed
+        rf = np.asarray(repeat_factors, dtype=np.float64)
+        self._int_part = np.floor(rf).astype(np.int64)
+        self._frac_part = rf - self._int_part
+
+    @staticmethod
+    def repeat_factors_from_category_frequency(dataset_category_ids, repeat_thresh: float):
+        """dataset_category_ids: list of per-image category-id lists."""
+        from collections import Counter
+
+        counter: Counter = Counter()
+        for cats in dataset_category_ids:
+            counter.update(set(cats))
+        num_images = len(dataset_category_ids)
+        cat_freq = {c: n / num_images for c, n in counter.items()}
+        cat_rep = {c: max(1.0, np.sqrt(repeat_thresh / f)) for c, f in cat_freq.items()}
+        return np.array([
+            max([cat_rep[c] for c in set(cats)], default=1.0)
+            for cats in dataset_category_ids
+        ])
+
+    def _indices_for_epoch(self, rng: np.random.RandomState) -> np.ndarray:
+        rands = rng.rand(len(self._frac_part))
+        repeats = self._int_part + (rands < self._frac_part).astype(np.int64)
+        return np.repeat(np.arange(len(repeats)), repeats)
+
+    def __iter__(self):
+        epoch = 0
+        while True:
+            rng = np.random.RandomState(self.seed + epoch)
+            indices = self._indices_for_epoch(rng)
+            if self.shuffle:
+                indices = indices[rng.permutation(len(indices))]
+            yield from indices[self.rank::self.world_size].tolist()
+            epoch += 1
+
+
+class GroupedBatchSampler:
+    """Batch indices so that each batch contains only samples from one group
+    (e.g. aspect-ratio groups; reference: data/samplers/grouped_batch_sampler.py:9)."""
+
+    def __init__(self, sampler, group_ids, batch_size: int, drop_uneven: bool = False):
+        self.sampler = sampler
+        self.group_ids = np.asarray(group_ids)
+        self.batch_size = batch_size
+        self.drop_uneven = drop_uneven
+
+    def __iter__(self):
+        buffers: Dict[int, list] = {}
+        for idx in self.sampler:
+            gid = int(self.group_ids[idx])
+            buffers.setdefault(gid, []).append(idx)
+            if len(buffers[gid]) == self.batch_size:
+                yield buffers.pop(gid)
+        if not self.drop_uneven:
+            for batch in buffers.values():
+                if batch:
+                    yield batch
+
+
 class InferenceSampler:
     """Contiguous per-rank shards covering the dataset exactly once
     (reference: data/samplers/distributed_sampler.py:175-202)."""

@@ -201,3 +201,28 @@ def test_test_loader_covers_all(cfg, kitti_root):
     for batch in loader:
         ids += batch["image_id"].tolist()
     assert sorted(ids) == [0, 1, 2]
+
+
+def test_repeat_factor_sampler():
+    from monoflex_tpu.data.loader import RepeatFactorTrainingSampler
+
+    cats = [[0], [0, 1], [1], [2], [0]]  # category 2 is rare
+    rf = RepeatFactorTrainingSampler.repeat_factors_from_category_frequency(cats, 0.5)
+    assert rf[3] > rf[0]  # rare-category image repeated more
+    s = RepeatFactorTrainingSampler(rf, seed=0)
+    it = iter(s)
+    first_epoch = [next(it) for _ in range(20)]
+    assert set(first_epoch) <= set(range(5))
+    assert first_epoch.count(3) >= 1
+
+
+def test_grouped_batch_sampler():
+    from monoflex_tpu.data.loader import GroupedBatchSampler
+
+    group_ids = [0, 1, 0, 1, 0, 1, 0, 1]
+    batches = list(GroupedBatchSampler(range(8), group_ids, batch_size=2))
+    for b in batches:
+        gids = {group_ids[i] for i in b}
+        assert len(gids) == 1
+    flat = sorted(i for b in batches for i in b)
+    assert flat == list(range(8))
