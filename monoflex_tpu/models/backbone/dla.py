@@ -220,7 +220,10 @@ class DCN(nn.Module):
 
 
 class DeformConvBlock(nn.Module):
-    """DCN -> BN -> ReLU (reference: model/backbone/dla_dcn.py:384-396)."""
+    """DCN -> BN -> ReLU (reference: model/backbone/dla_dcn.py:384-396).
+
+    dcn_impl == "none" swaps in a plain 3x3 conv (the reference's no-DCN
+    dlav0 variant, model/backbone/dlav0.py:534)."""
 
     features: int
     dcn_impl: str = "shift"
@@ -228,7 +231,10 @@ class DeformConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = DCN(self.features, impl=self.dcn_impl, max_offset=self.max_offset)(x)
+        if self.dcn_impl == "none":
+            x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)])(x)
+        else:
+            x = DCN(self.features, impl=self.dcn_impl, max_offset=self.max_offset)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
                          epsilon=1e-5)(x)
         return nn.relu(x)
@@ -365,8 +371,14 @@ def default_dcn_impl(use_pallas: bool = True) -> str:
 
 
 def build_backbone(cfg) -> DLASeg:
-    if cfg.MODEL.BACKBONE.CONV_BODY != "dla34":
-        raise NotImplementedError(cfg.MODEL.BACKBONE.CONV_BODY)
+    body = cfg.MODEL.BACKBONE.CONV_BODY
+    if body == "dla34":
+        impl = default_dcn_impl(cfg.TPU.USE_PALLAS_DCN)
+    elif body in ("dla34_nodcn", "dlav0"):
+        # plain-conv aggregation (the reference's dlav0 family)
+        impl = "none"
+    else:
+        raise NotImplementedError(body)
     return DLASeg(down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
-                  dcn_impl=default_dcn_impl(cfg.TPU.USE_PALLAS_DCN),
+                  dcn_impl=impl,
                   dcn_max_offset=cfg.TPU.DCN_MAX_OFFSET)

@@ -92,3 +92,18 @@ def test_edge_fusion_changes_boundary_only(cfg, model_and_vars, small_inputs):
     mask = np.zeros((16, 32), dtype=bool)
     mask[np.asarray(edge[0, :16, 1]), np.asarray(edge[0, :16, 0])] = True
     assert np.allclose(diff[~mask], 0, atol=1e-6)
+
+
+def test_plain_conv_backbone_variant(cfg, small_inputs):
+    """The no-DCN (dlav0-style) backbone builds and runs."""
+    c = cfg.clone()
+    c.MODEL.BACKBONE.CONV_BODY = "dla34_nodcn"
+    model = build_model(c)
+    images, edge, edge_len = small_inputs
+    variables = model.init(jax.random.PRNGKey(1), images, edge, edge_len, train=False)
+    out = model.apply(variables, images, edge, edge_len, train=False)
+    assert out["cls"].shape == (1, 16, 32, 3)
+    # no DCN offset convs in the tree
+    flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+    names = ["/".join(str(k.key) for k in path) for path, _ in flat]
+    assert not any("DCN" in n for n in names)
