@@ -126,3 +126,20 @@ def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_adaptive_grad_clip():
+    import optax
+    from monoflex_tpu.train.grad_clip import adaptive_grad_clip
+
+    tx = adaptive_grad_clip(factor=1.5, alpha=0.9)
+    params = {"w": jnp.zeros(3)}
+    state = tx.init(params)
+    g1 = {"w": jnp.array([3.0, 4.0, 0.0])}   # norm 5
+    u1, state = tx.update(g1, state)
+    np.testing.assert_allclose(np.asarray(u1["w"]), np.asarray(g1["w"]))  # first step unclipped
+    big = {"w": jnp.array([30.0, 40.0, 0.0])}  # norm 50 >> 1.5 * ema
+    u2, state = tx.update(big, state)
+    assert float(optax.global_norm(u2)) < 50.0
+    # ema after the big step: 0.9*5 + 0.1*50 = 9.5 -> limit 14.25
+    assert float(optax.global_norm(u2)) == pytest.approx(1.5 * 9.5, rel=1e-3)
