@@ -84,6 +84,8 @@ class CfgNode(dict):
             node = self
             parts = key.split(".")
             for p in parts[:-1]:
+                if p not in node:
+                    raise KeyError(f"Unknown config key: {key} (no group {p!r})")
                 node = node[p]
                 if not isinstance(node, CfgNode):
                     raise KeyError(f"{key}: {p} is not a config group")

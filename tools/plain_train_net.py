@@ -12,6 +12,15 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# MONOFLEX_PLATFORM=cpu|tpu overrides the backend (some environments pre-pin
+# jax_platforms at interpreter startup, so an env var alone is not enough)
+if os.environ.get("MONOFLEX_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MONOFLEX_PLATFORM"])
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache"))
+
 import jax.numpy as jnp
 
 from monoflex_tpu.config import DatasetCatalog
