@@ -22,6 +22,7 @@ from ..decode.kitti_writer import write_kitti_results
 from ..decode.postprocessor import PostProcessor
 from ..eval import evaluate_python
 from ..utils.timer import Timer
+from ..core.geometry import Calibration
 
 DEPTH_METHODS = ["direct", "keypoints_center", "keypoints_02", "keypoints_13",
                  "keypoints_avg", "hard", "soft", "mean"]
@@ -51,14 +52,94 @@ def compute_on_dataset(eval_step, state, loader, output_dir: str,
     return stats
 
 
+def run_diagnostics(cfg, model, state, loader, logger) -> Dict[str, float]:
+    """Depth-error suite + disentangled IoU over the dataset
+    (reference: engine/inference.py eval_utils aggregation)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..decode.diagnostics import DiagnosticEvaluator
+
+    diag = DiagnosticEvaluator(cfg)
+
+    @jax.jit
+    def diag_step(state, batch):
+        outputs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["image"], batch.get("edge_indices"), batch.get("edge_len"),
+            train=False)
+        out = {}
+        if cfg.TEST.EVAL_DEPTH:
+            out.update({f"depth_err/{k}": v for k, v in
+                        diag.evaluate_depths(batch, outputs["reg"]).items()})
+        if cfg.TEST.EVAL_DIS_IOUS:
+            out.update({f"dis_iou/{k}": v for k, v in
+                        diag.evaluate_disentangled_iou(
+                            batch, outputs["reg"],
+                            cfg.MODEL.HEAD.OUTPUT_DEPTH if cfg.MODEL.HEAD.OUTPUT_DEPTH
+                            in ("direct",) else "soft").items()})
+        # weight by valid object count for dataset-level averaging
+        out["_count"] = jnp.sum(batch["reg_mask"])
+        return out
+
+    sums: Dict[str, float] = {}
+    total = 0.0
+    for batch in loader:
+        res = {k: float(v) for k, v in jax.device_get(diag_step(state, batch)).items()}
+        n = res.pop("_count")
+        total += n
+        for k, v in res.items():
+            sums[k] = sums.get(k, 0.0) + v * n
+    results = {k: v / max(total, 1.0) for k, v in sums.items()}
+    for k, v in sorted(results.items()):
+        logger.info(f"{k}: {v:.4f}")
+    return results
+
+
+def visualize_predictions(cfg, eval_step, state, loader, output_dir: str,
+                          max_images: int = 8) -> int:
+    """Render detection overlays (reference: engine/visualize_infer.py)."""
+    from ..utils.visualizer import show_image_with_boxes
+
+    os.makedirs(output_dir, exist_ok=True)
+    count = 0
+    for batch in loader:
+        result, valid, _ = eval_step(state, batch)
+        result, valid = np.asarray(result), np.asarray(valid)
+        for i in range(result.shape[0]):
+            if count >= max_images:
+                return count
+            calib = Calibration(np.asarray(batch["calib_P"][i]))
+            # de-normalize the padded image for display
+            img = np.asarray(batch["image"][i])
+            show_image_with_boxes(
+                img, result[i], valid[i], calib,
+                score_threshold=cfg.TEST.VISUALIZE_THRESHOLD,
+                save_path=os.path.join(output_dir,
+                                       f"{int(batch['image_id'][i]):06d}.png"))
+            count += 1
+    return count
+
+
 def inference(cfg, eval_step, state, dataset, output_dir: str,
               metrics=("R40",), logger: Optional[logging.Logger] = None,
-              output_depth: Optional[str] = None) -> Dict[str, float]:
+              output_depth: Optional[str] = None, model=None,
+              visualize: bool = False) -> Dict[str, float]:
     logger = logger or logging.getLogger("monoflex.inference")
     loader = make_test_loader(cfg, dataset, batch_size=max(1, cfg.TEST.IMS_PER_BATCH))
     pred_dir = os.path.join(output_dir, "data")
     stats = compute_on_dataset(eval_step, state, loader, pred_dir,
                                output_depth=output_depth, logger=logger)
+    if model is not None and (cfg.TEST.EVAL_DEPTH or cfg.TEST.EVAL_DIS_IOUS):
+        loader_d = make_test_loader(cfg, dataset,
+                                    batch_size=max(1, cfg.TEST.IMS_PER_BATCH))
+        stats.update(run_diagnostics(cfg, model, state, loader_d, logger))
+    if visualize:
+        loader_v = make_test_loader(cfg, dataset,
+                                    batch_size=max(1, cfg.TEST.IMS_PER_BATCH))
+        n = visualize_predictions(cfg, eval_step, state, loader_v,
+                                  os.path.join(output_dir, "vis"))
+        logger.info(f"wrote {n} visualization images")
 
     label_dir = os.path.join(dataset.root, "label_2")
     split_file = os.path.join(dataset.root, "ImageSets", f"{dataset.split}.txt")

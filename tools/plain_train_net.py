@@ -90,7 +90,8 @@ def main():
                 inference_all_depths(cfg, eval_step, state, ds, out, logger=logger)
             else:
                 inference(cfg, eval_step, state, ds, out,
-                          metrics=cfg.TEST.METRIC, logger=logger)
+                          metrics=cfg.TEST.METRIC, logger=logger,
+                          model=model, visualize=args.vis)
         return
 
     train_loader = make_train_loader(cfg, train_ds, seed=seed % (2 ** 31))
