@@ -118,6 +118,43 @@ class PostProcessor:
             else:
                 depths = kpt_depths[:, which]
                 est_err = kpt_unc[:, which] if kpt_unc is not None else None
+        elif depth_sel == "oracle":
+            # match each prediction to the nearest same-class GT 2D box; when
+            # IoU > 0.5, pick the estimator whose depth is closest to the GT
+            # depth, else fall back to the ensemble mean
+            # (reference: detector_infer.py:239-278)
+            comb_d = jnp.concatenate([direct_depth[:, None], kpt_depths], axis=1)
+            comb_u = jnp.concatenate([direct_unc[:, None], kpt_unc], axis=1)
+            M = batch["reg_mask"].shape[1]
+            gt_boxes = batch["gt_bboxes"][batch_idx]          # (N, M, 4)
+            gt_cls = batch["cls_ids"][batch_idx]
+            gt_depth_all = batch["locations"][batch_idx][..., 2]
+            gt_valid = batch["reg_mask"][batch_idx] > 0
+
+            gt_centers = (gt_boxes[..., :2] + gt_boxes[..., 2:]) / 2
+            pred_center = (box2d[:, :2] + box2d[:, 2:]) / 2
+            dist = jnp.sum((pred_center[:, None, :] - gt_centers) ** 2, axis=2)
+            same_cls = (gt_cls == clses[:, None].astype(gt_cls.dtype)) & gt_valid
+            dist = jnp.where(same_cls, dist, 9999.0)
+            near = jnp.argmin(dist, axis=1)                   # (N,)
+            near_box = jnp.take_along_axis(gt_boxes, near[:, None, None].repeat(4, 2), axis=1)[:, 0]
+            # axis-aligned IoU pred vs matched GT
+            ix = (jnp.minimum(box2d[:, 2], near_box[:, 2])
+                  - jnp.maximum(box2d[:, 0], near_box[:, 0])).clip(0)
+            iy = (jnp.minimum(box2d[:, 3], near_box[:, 3])
+                  - jnp.maximum(box2d[:, 1], near_box[:, 1])).clip(0)
+            inter = ix * iy
+            area_p = ((box2d[:, 2] - box2d[:, 0]) * (box2d[:, 3] - box2d[:, 1])).clip(0)
+            area_g = ((near_box[:, 2] - near_box[:, 0])
+                      * (near_box[:, 3] - near_box[:, 1])).clip(0)
+            iou2d = inter / jnp.clip(area_p + area_g - inter, 1e-6, None)
+            matched = iou2d > 0.5
+            near_depth = jnp.take_along_axis(gt_depth_all, near[:, None], axis=1)[:, 0]
+            best = jnp.argmin(jnp.abs(comb_d - near_depth[:, None]), axis=1)
+            oracle_d = jnp.take_along_axis(comb_d, best[:, None], axis=1)[:, 0]
+            oracle_u = jnp.take_along_axis(comb_u, best[:, None], axis=1)[:, 0]
+            depths = jnp.where(matched, oracle_d, comb_d.mean(axis=1))
+            est_err = jnp.where(matched, oracle_u, comb_u.mean(axis=1))
         elif depth_sel in ("hard", "soft", "mean"):
             if self.pred_direct_depth and self.depth_with_uncertainty:
                 comb_d = jnp.concatenate([direct_depth[:, None], kpt_depths], axis=1)

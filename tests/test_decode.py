@@ -144,3 +144,32 @@ def test_kitti_writer(tmp_path, cfg, setup):
     parts = lines[0].split(" ")
     assert parts[0] in ("Car", "Pedestrian", "Cyclist")
     assert len(parts) == 16
+
+
+def test_oracle_depth_mode(cfg, setup):
+    """Oracle mode should pick the estimator closest to GT depth for matched
+    boxes, beating the soft ensemble on depth accuracy."""
+    ds, batch = setup
+    pp = PostProcessor(cfg)
+    preds = gt_predictions(cfg, batch)
+    # corrupt the direct depth channel so estimators disagree
+    from monoflex_tpu.models.heads.key2channel import Key2Channel
+    k2c = Key2Channel(cfg.MODEL.HEAD.REGRESSION_HEADS, cfg.MODEL.HEAD.REGRESSION_CHANNELS)
+    reg = np.asarray(preds["reg"]).copy()
+    reg[..., k2c("depth")] = reg[..., k2c("depth")] - 1.0  # biased direct depth
+    bad = {"cls": preds["cls"], "reg": jnp.asarray(reg)}
+
+    res_soft, valid, _ = pp(bad, batch, output_depth="soft")
+    res_oracle, valid_o, _ = pp(bad, batch, output_depth="oracle")
+    gt_depths = {}
+    for i in range(40):
+        if batch["reg_mask"][0, i]:
+            gt_depths[float(batch["locations"][0, i, 2])] = True
+
+    def depth_err(res, val):
+        z = np.asarray(res[0])[np.asarray(val), 11]
+        errs = [min(abs(zz - g) for g in gt_depths) for zz in z]
+        return np.mean(errs)
+
+    assert depth_err(res_oracle, np.asarray(valid_o[0])) <= depth_err(
+        res_soft, np.asarray(valid[0])) + 1e-6
