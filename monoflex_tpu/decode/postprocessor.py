@@ -37,6 +37,9 @@ class PostProcessor:
         self.output_depth = h.OUTPUT_DEPTH
         self.pred_2d = cfg.TEST.PRED_2D
         self.uncertainty_as_conf = cfg.TEST.UNCERTAINTY_AS_CONFIDENCE
+        self.use_nms = cfg.TEST.USE_NMS
+        self.nms_thresh = cfg.TEST.NMS_THRESH
+        self.nms_class_agnostic = cfg.TEST.NMS_CLASS_AGNOSTIC
         self.down_ratio = cfg.MODEL.BACKBONE.DOWN_RATIO
         self.num_bin = cfg.INPUT.ORIENTATION_BIN_SIZE
         self.depth_mode = h.DEPTH_MODE
@@ -198,4 +201,11 @@ class PostProcessor:
             rotys[:, None], scores[:, None],
         ], axis=1).reshape(B, K, RESULT_DIM)
         extras["vis_scores"] = vis_scores.reshape(B, K)
-        return result, valid.reshape(B, K), extras
+        valid = valid.reshape(B, K)
+        if self.use_nms in ("2d", "3d") and self.nms_thresh > 0:
+            from .nms import apply_nms
+
+            valid = apply_nms(result, valid, mode=self.use_nms,
+                              iou_thresh=self.nms_thresh,
+                              class_agnostic=self.nms_class_agnostic)
+        return result, valid, extras
