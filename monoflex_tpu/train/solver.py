@@ -113,6 +113,18 @@ def build_optimizer(cfg, params, steps_per_epoch: int = 1):
         base,
         optax.masked(optax.scale(s.BIAS_LR_FACTOR), bias_mask),
     )
+    if s.BACKBONE_LR_FACTOR != 1.0:
+        backbone_mask = jax.tree_util.tree_map_with_path(
+            lambda path, _: str(getattr(path[0], "key", "")) == "backbone", params)
+        tx = optax.chain(tx, optax.masked(
+            optax.scale(s.BACKBONE_LR_FACTOR), backbone_mask))
+    if cfg.MODEL.BACKBONE.FREEZE_CONV_BODY_AT > 0:
+        # freeze the trunk (reference: MODEL.BACKBONE.FREEZE_CONV_BODY_AT)
+        trunk_mask = jax.tree_util.tree_map_with_path(
+            lambda path, _: (len(path) >= 2
+                             and str(getattr(path[0], "key", "")) == "backbone"
+                             and str(getattr(path[1], "key", "")) == "base"), params)
+        tx = optax.chain(tx, optax.masked(optax.set_to_zero(), trunk_mask))
     if s.GRAD_NORM_CLIP > 0:
         tx = optax.chain(optax.clip_by_global_norm(s.GRAD_NORM_CLIP), tx)
     return tx, schedule

@@ -143,3 +143,23 @@ def test_adaptive_grad_clip():
     assert float(optax.global_norm(u2)) < 50.0
     # ema after the big step: 0.9*5 + 0.1*50 = 9.5 -> limit 14.25
     assert float(optax.global_norm(u2)) == pytest.approx(1.5 * 9.5, rel=1e-3)
+
+
+def test_backbone_freeze(cfg, tiny_setup):
+    model, _, state, batch = tiny_setup
+    c = cfg.clone()
+    c.MODEL.BACKBONE.FREEZE_CONV_BODY_AT = 1
+    tx, _ = build_optimizer(c, state.params)
+    frozen_state = TrainState(step=jnp.zeros((), jnp.int32), params=state.params,
+                              batch_stats=state.batch_stats,
+                              opt_state=tx.init(state.params))
+    loss_computer = LossComputer(c)
+    step = jax.jit(make_train_step(model, loss_computer, tx))
+    new_state, _ = step(frozen_state, batch)
+    # trunk params unchanged, head params changed
+    trunk_before = jax.tree.leaves(state.params["backbone"]["base"])[0]
+    trunk_after = jax.tree.leaves(new_state.params["backbone"]["base"])[0]
+    np.testing.assert_array_equal(np.asarray(trunk_before), np.asarray(trunk_after))
+    head_before = jax.tree.leaves(state.params["predictor"])[0]
+    head_after = jax.tree.leaves(new_state.params["predictor"])[0]
+    assert not np.allclose(np.asarray(head_before), np.asarray(head_after))
