@@ -34,6 +34,14 @@ def main():
 
     cfg = get_cfg_defaults()
     cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "runs", "monoflex.yaml"))
+    # escape hatch: BENCH_DCN_IMPL=shift|gather avoids the Pallas kernels'
+    # long cold compile when no warm cache is present
+    impl = os.environ.get("BENCH_DCN_IMPL")
+    if impl == "shift":
+        cfg.TPU.USE_PALLAS_DCN = False
+    elif impl == "gather":
+        cfg.TPU.USE_PALLAS_DCN = False
+        cfg.MODEL.BACKBONE.CONV_BODY = "dla34"  # gather picked on non-TPU only
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     model = build_model(cfg)
