@@ -24,6 +24,8 @@ def default_argument_parser() -> argparse.ArgumentParser:
     parser.add_argument("--vis", action="store_true", help="visualize predictions")
     parser.add_argument("--num_chips", type=int, default=None,
                         help="limit the device mesh to the first N chips")
+    parser.add_argument("--profile", type=int, default=0, metavar="N",
+                        help="capture an XLA profiler trace of the first N steps")
     parser.add_argument("opts", nargs=argparse.REMAINDER,
                         help="config overrides: KEY VALUE [KEY VALUE ...]")
     return parser

@@ -60,11 +60,15 @@ class ScalarWriter:
             self.tb.close()
 
 
+MAX_CONSECUTIVE_SKIPS = 20  # abort if this many steps in a row are non-finite
+
+
 def do_train(cfg, model, train_step, eval_step, state, train_loader,
              eval_dataset=None, mesh=None, schedule=None,
              logger: Optional[logging.Logger] = None,
              max_iter: Optional[int] = None,
-             start_iter: int = 0) -> "object":
+             start_iter: int = 0,
+             profile_steps: int = 0) -> "object":
     logger = logger or logging.getLogger("monoflex.trainer")
     output_dir = cfg.OUTPUT_DIR
     writer = ScalarWriter(os.path.join(output_dir, "tensorboard"))
@@ -87,10 +91,15 @@ def do_train(cfg, model, train_step, eval_step, state, train_loader,
 
     meters = MetricLogger()
     best_ap = -1.0
+    consecutive_skips = 0
     iteration = start_iter
     data_iter = iter(train_loader)
     logger.info(f"start training: {max_iter} iterations "
                 f"({steps_per_epoch} steps/epoch)")
+    if profile_steps > 0:
+        # capture an XLA trace of the first steady-state steps
+        # (reference has only wall-clock timers, SURVEY §5.1 — this is richer)
+        jax.profiler.start_trace(os.path.join(output_dir, "profile"))
     end = time.time()
 
     while iteration < max_iter:
@@ -101,8 +110,25 @@ def do_train(cfg, model, train_step, eval_step, state, train_loader,
         state, metrics = train_step(state, batch)
         iteration += 1
 
+        if profile_steps > 0 and iteration - start_iter == profile_steps:
+            jax.block_until_ready(metrics["total_loss"])
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace written to {output_dir}/profile")
+            profile_steps = 0
+
         if iteration % 10 == 0 or iteration == max_iter:
             metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            if metrics.get("skipped", 0.0) > 0:
+                consecutive_skips += 10
+                if consecutive_skips >= MAX_CONSECUTIVE_SKIPS:
+                    logger.error(
+                        f"aborting: {consecutive_skips}+ consecutive non-finite "
+                        f"steps (bad data or diverged optimizer)")
+                    checkpointer.save("model_aborted", state)
+                    writer.close()
+                    return state
+            else:
+                consecutive_skips = 0
             batch_time = time.time() - end
             meters.update(time=batch_time, data=data_time, **metrics)
             eta = datetime.timedelta(

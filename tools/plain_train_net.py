@@ -99,7 +99,8 @@ def main():
     with mesh:
         do_train(cfg, model, train_step, eval_step, state, train_loader,
                  eval_dataset=eval_ds, mesh=mesh, schedule=schedule,
-                 logger=logger, start_iter=start_iter)
+                 logger=logger, start_iter=start_iter,
+                 profile_steps=args.profile)
 
 
 if __name__ == "__main__":
