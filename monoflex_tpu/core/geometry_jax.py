@@ -188,6 +188,29 @@ def decode_axes_orientation(vector_ori: jnp.ndarray, locations: jnp.ndarray,
     return rotys, alphas
 
 
+def decode_axes_orientation_head_axis(vector_ori: jnp.ndarray,
+                                      locations: jnp.ndarray):
+    """Non-multibin ('head-axis') orientation decode: 2-way axis class +
+    2-way heading class + normalized (sin, cos) offset
+    (reference: model/anno_encoder.py:266-274; the reference dataset never
+    emits these targets — kept for API parity with the decode branch)."""
+    axis_cls = (vector_ori[:, 1] > vector_ori[:, 0]).astype(jnp.int32)
+    head_cls = (vector_ori[:, 3] > vector_ori[:, 2]).astype(jnp.int32)
+    sincos = vector_ori[:, 4:6]
+    sincos = sincos / jnp.linalg.norm(sincos, axis=1, keepdims=True).clip(1e-9)
+    alphas = (ALPHA_CENTERS[axis_cls + head_cls * 2]
+              + jnp.arctan(sincos[:, 0] / jnp.where(sincos[:, 1] == 0, 1e-9,
+                                                    sincos[:, 1])))
+    locations = locations.reshape(-1, 3)
+    rays = jnp.arctan2(locations[:, 0], locations[:, 2])
+    rotys = alphas + rays
+    rotys = jnp.where(rotys > PI, rotys - 2 * PI, rotys)
+    rotys = jnp.where(rotys < -PI, rotys + 2 * PI, rotys)
+    alphas = jnp.where(alphas > PI, alphas - 2 * PI, alphas)
+    alphas = jnp.where(alphas < -PI, alphas + 2 * PI, alphas)
+    return rotys, alphas
+
+
 def decode_box2d_fcos(centers: jnp.ndarray, pred_offset: jnp.ndarray,
                       pad_size: jnp.ndarray = None, out_size: jnp.ndarray = None,
                       down_ratio: int = 4) -> jnp.ndarray:
