@@ -33,6 +33,7 @@ class ConvBnRelu(nn.Module):
     kernel: int = 3
     stride: int = 1
     dilation: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,9 +42,9 @@ class ConvBnRelu(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=[(pad, pad), (pad, pad)],
                     kernel_dilation=(self.dilation, self.dilation),
-                    use_bias=False)(x)
+                    use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -51,6 +52,7 @@ class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
     dilation: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, residual=None, train: bool = False):
@@ -59,28 +61,29 @@ class BasicBlock(nn.Module):
         out = nn.Conv(self.planes, (3, 3), strides=(self.stride, self.stride),
                       padding=[(self.dilation,) * 2] * 2,
                       kernel_dilation=(self.dilation, self.dilation),
-                      use_bias=False)(x)
+                      use_bias=False, dtype=self.dtype)(x)
         out = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                           epsilon=1e-5)(out)
+                           epsilon=1e-5, dtype=self.dtype)(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), padding=[(self.dilation,) * 2] * 2,
                       kernel_dilation=(self.dilation, self.dilation),
-                      use_bias=False)(out)
+                      use_bias=False, dtype=self.dtype)(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                           epsilon=1e-5)(out)
+                           epsilon=1e-5, dtype=self.dtype)(out)
         return nn.relu(out + residual)
 
 
 class Root(nn.Module):
     features: int
     residual: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, children: List[jnp.ndarray], train: bool = False):
-        x = nn.Conv(self.features, (1, 1), use_bias=False)(
+        x = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(
             jnp.concatenate(children, axis=-1))
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         if self.residual:
             x = x + children[0]
         return nn.relu(x)
@@ -94,6 +97,7 @@ class Tree(nn.Module):
     level_root: bool = False
     root_dim: int = 0
     root_residual: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, residual=None, children=None, train: bool = False):
@@ -105,62 +109,72 @@ class Tree(nn.Module):
         bottom = nn.max_pool(x, (self.stride, self.stride),
                              strides=(self.stride, self.stride)) if self.stride > 1 else x
         if self.in_channels != self.out_channels:
-            proj = nn.Conv(self.out_channels, (1, 1), use_bias=False)(bottom)
+            proj = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                           dtype=self.dtype)(bottom)
             residual = nn.BatchNorm(use_running_average=not train,
-                                    momentum=BN_MOMENTUM, epsilon=1e-5)(proj)
+                                    momentum=BN_MOMENTUM, epsilon=1e-5,
+                                    dtype=self.dtype)(proj)
         else:
             residual = bottom
         if self.level_root:
             children.append(bottom)
 
         if self.levels == 1:
-            x1 = BasicBlock(self.out_channels, self.stride)(x, residual, train=train)
-            x2 = BasicBlock(self.out_channels, 1)(x1, train=train)
-            return Root(self.out_channels, self.root_residual)([x2, x1] + children, train=train)
+            x1 = BasicBlock(self.out_channels, self.stride,
+                            dtype=self.dtype)(x, residual, train=train)
+            x2 = BasicBlock(self.out_channels, 1, dtype=self.dtype)(x1, train=train)
+            return Root(self.out_channels, self.root_residual,
+                        dtype=self.dtype)([x2, x1] + children, train=train)
 
         x1 = Tree(self.levels - 1, self.in_channels, self.out_channels,
-                  self.stride, root_residual=self.root_residual)(x, residual, train=train)
+                  self.stride, root_residual=self.root_residual,
+                  dtype=self.dtype)(x, residual, train=train)
         children.append(x1)
         return Tree(self.levels - 1, self.out_channels, self.out_channels,
                     root_dim=root_dim + self.out_channels,
-                    root_residual=self.root_residual)(x1, children=children, train=train)
+                    root_residual=self.root_residual,
+                    dtype=self.dtype)(x1, children=children, train=train)
 
 
 class DLA(nn.Module):
     levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
     channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
     residual_root: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
         ch = self.channels
+        x = x.astype(self.dtype)
         # stem: 7x7 stride-1
-        x = nn.Conv(ch[0], (7, 7), padding=[(3, 3), (3, 3)], use_bias=False)(x)
+        x = nn.Conv(ch[0], (7, 7), padding=[(3, 3), (3, 3)], use_bias=False,
+                    dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
 
         outputs = []
         # level0 / level1: plain conv levels
         y = x
         for _ in range(self.levels[0]):
-            y = ConvBnRelu(ch[0])(y, train=train)
+            y = ConvBnRelu(ch[0], dtype=self.dtype)(y, train=train)
         outputs.append(y)
         for i in range(self.levels[1]):
-            y = ConvBnRelu(ch[1], stride=2 if i == 0 else 1)(y, train=train)
+            y = ConvBnRelu(ch[1], stride=2 if i == 0 else 1,
+                           dtype=self.dtype)(y, train=train)
         outputs.append(y)
         # levels 2-5: aggregation trees
         y = Tree(self.levels[2], ch[1], ch[2], 2, level_root=False,
-                 root_residual=self.residual_root)(y, train=train)
+                 root_residual=self.residual_root, dtype=self.dtype)(y, train=train)
         outputs.append(y)
         y = Tree(self.levels[3], ch[2], ch[3], 2, level_root=True,
-                 root_residual=self.residual_root)(y, train=train)
+                 root_residual=self.residual_root, dtype=self.dtype)(y, train=train)
         outputs.append(y)
         y = Tree(self.levels[4], ch[3], ch[4], 2, level_root=True,
-                 root_residual=self.residual_root)(y, train=train)
+                 root_residual=self.residual_root, dtype=self.dtype)(y, train=train)
         outputs.append(y)
         y = Tree(self.levels[5], ch[4], ch[5], 2, level_root=True,
-                 root_residual=self.residual_root)(y, train=train)
+                 root_residual=self.residual_root, dtype=self.dtype)(y, train=train)
         outputs.append(y)
         return outputs
 
@@ -341,11 +355,15 @@ class DLASeg(nn.Module):
     channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
     dcn_impl: str = "shift"
     dcn_max_offset: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> jnp.ndarray:
         first_level = int(math.log2(self.down_ratio))
-        feats = DLA(self.levels, self.channels, name="base")(x, train=train)
+        feats = DLA(self.levels, self.channels, dtype=self.dtype,
+                    name="base")(x, train=train)
+        # the DCN neck runs in f32 (the Pallas kernel accumulates f32 anyway)
+        feats = [f.astype(jnp.float32) for f in feats]
 
         ch = list(self.channels[first_level:])
         scales = [2 ** i for i in range(len(ch))]
@@ -379,6 +397,8 @@ def build_backbone(cfg) -> DLASeg:
         impl = "none"
     else:
         raise NotImplementedError(body)
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     return DLASeg(down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
                   dcn_impl=impl,
-                  dcn_max_offset=cfg.TPU.DCN_MAX_OFFSET)
+                  dcn_max_offset=cfg.TPU.DCN_MAX_OFFSET,
+                  dtype=dtype)

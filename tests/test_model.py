@@ -107,3 +107,22 @@ def test_plain_conv_backbone_variant(cfg, small_inputs):
     flat = jax.tree_util.tree_flatten_with_path(variables["params"])[0]
     names = ["/".join(str(k.key) for k in path) for path, _ in flat]
     assert not any("DCN" in n for n in names)
+
+
+def test_bfloat16_trunk(cfg, small_inputs):
+    """bf16 compute dtype produces outputs close to f32 (params stay f32)."""
+    c = cfg.clone()
+    c.TPU.COMPUTE_DTYPE = "bfloat16"
+    model_bf = build_model(c)
+    images, edge, edge_len = small_inputs
+    variables = model_bf.init(jax.random.PRNGKey(0), images, edge, edge_len,
+                              train=False)
+    # params stay f32
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(variables["params"]))
+    out_bf = model_bf.apply(variables, images, edge, edge_len, train=False)
+    model_f32 = build_model(cfg)
+    out_f32 = model_f32.apply(variables, images, edge, edge_len, train=False)
+    assert out_bf["cls"].dtype == jnp.float32
+    # heatmaps bounded [0,1]: bf16 trunk should stay within a few percent
+    diff = float(jnp.abs(out_bf["cls"] - out_f32["cls"]).max())
+    assert diff < 0.2, diff
