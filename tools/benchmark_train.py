@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Training-step throughput benchmark (images/sec/chip for the full jitted
+forward + 11 losses + backward + AdamW step at the real KITTI resolution).
+
+The headline bench (bench.py) measures inference; this covers the training
+target (BASELINE.md: >=3x images/sec/chip vs the V100 baseline for both).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if os.environ.get("MONOFLEX_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MONOFLEX_PLATFORM"])
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "..", ".jax_cache"))
+
+import jax.numpy as jnp
+
+from monoflex_tpu.config import get_cfg_defaults
+from monoflex_tpu.data.synthetic import make_dummy_batch
+from monoflex_tpu.losses.loss_computation import LossComputer
+from monoflex_tpu.models.detector import build_model
+from monoflex_tpu.train.solver import build_optimizer
+from monoflex_tpu.train.train_step import TrainState, make_train_step
+
+
+def main():
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..",
+                                     "runs", "monoflex.yaml"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "8"))
+    model = build_model(cfg)
+    loss_computer = LossComputer(cfg)
+
+    batch = {k: jnp.asarray(v) for k, v in make_dummy_batch(batch_size).items()}
+    variables = model.init(jax.random.PRNGKey(0), batch["image"],
+                           batch["edge_indices"], batch["edge_len"], train=False)
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+    step = jax.jit(make_train_step(model, loss_computer, tx), donate_argnums=0)
+
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    start = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["total_loss"])
+    elapsed = time.perf_counter() - start
+
+    img_per_s = batch_size * iters / elapsed
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(img_per_s, 2),
+        "unit": "img/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
