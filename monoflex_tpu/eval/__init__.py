@@ -1,5 +1,5 @@
 import os
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 from .ap import get_official_eval_result
 from .kitti_common import get_label_anno, get_label_annos
