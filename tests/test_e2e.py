@@ -110,3 +110,21 @@ def test_inference_end_to_end(stack):
     pred_dir = os.path.join(out_dir, "data")
     assert sorted(os.listdir(pred_dir)) == ["000000.txt", "000001.txt", "000002.txt"]
     assert results["images"] == 3
+
+
+def test_train_with_eval_hook_and_best_ckpt(stack):
+    """Mid-training eval fires, APs land in the scalar log, and the
+    metric-gated best checkpoint is written."""
+    cfg, model, train_ds, eval_ds, state, train_step, eval_step, schedule = stack
+    import copy
+
+    c = cfg.clone()
+    c.OUTPUT_DIR = cfg.OUTPUT_DIR + "_evalhook"
+    c.SOLVER.EVAL_INTERVAL = 2
+    loader = make_train_loader(c, train_ds)
+    state2 = do_train(c, model, train_step, eval_step, state, loader,
+                      eval_dataset=eval_ds, schedule=schedule, max_iter=2)
+    ckpt_dir = os.path.join(c.OUTPUT_DIR, "ckpt")
+    # untrained model gets AP 0 >= best(-1) -> best checkpoint written
+    assert os.path.exists(os.path.join(ckpt_dir, "model_moderate_best_soft"))
+    assert os.path.exists(os.path.join(c.OUTPUT_DIR, "eval_2", "data"))
