@@ -158,7 +158,8 @@ def inference_all_depths(cfg, eval_step, state, dataset, output_dir: str,
     """Sweep every depth-ensemble mode (reference: engine/inference.py:130-197)."""
     logger = logger or logging.getLogger("monoflex.inference")
     all_results = {}
-    for method in DEPTH_METHODS:
+    methods = list(cfg.TEST.EVAL_DEPTH_METHODS) or DEPTH_METHODS
+    for method in methods:
         logger.info(f"depth method: {method}")
         sub_dir = os.path.join(output_dir, f"depth_{method}")
         all_results[method] = inference(cfg, eval_step, state, dataset, sub_dir,
