@@ -141,7 +141,8 @@ class DataLoader:
     """
 
     def __init__(self, dataset, sampler, batch_size: int, num_workers: int = 8,
-                 prefetch: int = 2, drop_last: bool = True, infinite: bool = False):
+                 prefetch: int = 2, drop_last: bool = True, infinite: bool = False,
+                 pad_last: bool = False):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
@@ -149,6 +150,9 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
         self.infinite = infinite
+        # pad the final short batch by repeating its last sample (marked with
+        # image_id = -1) so fixed-shape jits never see a remainder batch
+        self.pad_last = pad_last
 
     def _batch_indices(self) -> Iterator[List[int]]:
         batch: List[int] = []
@@ -171,6 +175,12 @@ class DataLoader:
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__, batch_idx))
+                        if self.pad_last and len(samples) < self.batch_size:
+                            filler = dict(samples[-1])
+                            filler["image_id"] = np.array(-1, dtype=np.int32)
+                            if "reg_mask" in filler:
+                                filler["reg_mask"] = np.zeros_like(filler["reg_mask"])
+                            samples += [filler] * (self.batch_size - len(samples))
                         out_q.put(collate(samples))
                     out_q.put(None)
                 except Exception as e:  # surface worker errors to the consumer
@@ -211,4 +221,4 @@ def make_test_loader(cfg, dataset, rank: int = 0, world_size: int = 1,
     return DataLoader(dataset, sampler, batch_size or cfg.TEST.IMS_PER_BATCH,
                       num_workers=cfg.DATALOADER.NUM_WORKERS,
                       prefetch=cfg.DATALOADER.PREFETCH_BATCHES,
-                      drop_last=False, infinite=False)
+                      drop_last=False, infinite=False, pad_last=True)

@@ -40,6 +40,8 @@ def write_kitti_results(output_dir: str, image_ids: np.ndarray, results: np.ndar
     """Dump one txt per image: results (B, K, 14), valids (B, K)."""
     os.makedirs(output_dir, exist_ok=True)
     for img_id, result, valid in zip(image_ids, results, valids):
+        if int(img_id) < 0:      # padding rows from the fixed-shape loader
+            continue
         path = os.path.join(output_dir, f"{int(img_id):06d}.txt")
         with open(path, "w") as f:
             lines = result_rows_to_lines(np.asarray(result), np.asarray(valid))

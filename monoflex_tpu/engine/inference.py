@@ -109,6 +109,8 @@ def visualize_predictions(cfg, eval_step, state, loader, output_dir: str,
         for i in range(result.shape[0]):
             if count >= max_images:
                 return count
+            if int(batch["image_id"][i]) < 0:
+                continue
             calib = Calibration(np.asarray(batch["calib_P"][i]))
             # de-normalize the padded image for display
             img = np.asarray(batch["image"][i])

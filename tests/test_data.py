@@ -199,8 +199,11 @@ def test_test_loader_covers_all(cfg, kitti_root):
     loader = make_test_loader(c, ds, batch_size=2)
     ids = []
     for batch in loader:
+        # every batch is full-size; the final one is padded with image_id -1
+        assert batch["image"].shape[0] == 2
         ids += batch["image_id"].tolist()
-    assert sorted(ids) == [0, 1, 2]
+    assert sorted(i for i in ids if i >= 0) == [0, 1, 2]
+    assert ids.count(-1) == 1
 
 
 def test_repeat_factor_sampler():
