@@ -37,15 +37,17 @@ class TowerBlock(nn.Module):
     features: int
     norm: str = "BN"          # BN | GN | none
     leaky: bool = False       # InPlaceABN used leaky_relu(0.01)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False)(x)
+        x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype)(x.astype(self.dtype))
         if self.norm == "BN":
             x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                             epsilon=1e-5)(x)
+                             epsilon=1e-5, dtype=self.dtype)(x)
         elif self.norm == "GN":
-            x = nn.GroupNorm(num_groups=32)(x)
+            x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
         return nn.leaky_relu(x, 0.01) if self.leaky else nn.relu(x)
 
 
@@ -108,6 +110,7 @@ class Predictor(nn.Module):
     edge_kernel_size: int = 3
     edge_fusion_norm: str = "BN"
     edge_fusion_relu: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, features: jnp.ndarray, edge_indices: jnp.ndarray | None = None,
@@ -117,10 +120,11 @@ class Predictor(nn.Module):
 
         # ---- class tower ----
         feat_cls = TowerBlock(self.head_conv, self.norm, self.leaky,
+                              dtype=self.dtype,
                               name="class_tower")(features, train=train)
         out_cls = nn.Conv(self.num_classes, (1, 1),
                           bias_init=_final_bias_init(self.init_p),
-                          name="class_out")(feat_cls)
+                          name="class_out")(feat_cls.astype(jnp.float32))
 
         # ---- regression towers ----
         reg_outputs: List[jnp.ndarray] = []
@@ -128,7 +132,9 @@ class Predictor(nn.Module):
         offset_out_index = None
         for gi, group in enumerate(self.regression_heads):
             feat = TowerBlock(self.head_conv, self.norm, self.leaky,
+                              dtype=self.dtype,
                               name=f"reg_tower_{gi}")(features, train=train)
+            feat = feat.astype(jnp.float32)
             for ki, key in enumerate(group):
                 ch = self.regression_channels[gi][ki]
                 kernel_init = (_uncertainty_kernel_init
@@ -167,7 +173,9 @@ class Predictor(nn.Module):
 
 
 def build_predictor(cfg) -> Predictor:
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     return Predictor(
+        dtype=dtype,
         num_classes=len(cfg.DATASETS.DETECT_CLASSES),
         head_conv=cfg.MODEL.HEAD.NUM_CHANNEL,
         regression_heads=tuple(tuple(g) for g in cfg.MODEL.HEAD.REGRESSION_HEADS),
