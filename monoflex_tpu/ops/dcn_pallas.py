@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 _GUARD = 8  # vertical guard band; must be >= P and a multiple of 8
 
 
-def _dcn_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref,
+def _dcn_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, s_ref,
                 acc_ref, sem, *, tile_h: int, width: int, max_offset: int):
     R = max_offset
     P = R + 2
@@ -70,23 +70,17 @@ def _dcn_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref,
         oy = jnp.clip(off_ref[0, 2 * k], -R, R)        # (tile_h, W)
         ox = jnp.clip(off_ref[0, 2 * k + 1], -R, R)
 
-        # precompute the 1-D hat factors once per axis (shared across the
-        # inner loop), accumulate the sample as a register value
-        wys = [jnp.maximum(0.0, 1.0 - jnp.abs(oy + (ky - dy)))
-               for dy in range(ky - R - 1, ky + R + 2)]
-        wxs = [jnp.maximum(0.0, 1.0 - jnp.abs(ox + (kx - dx)))
-               for dx in range(kx - R - 1, kx + R + 2)]
-        s = None
-        for i, dy in enumerate(range(ky - R - 1, ky + R + 2)):
+        s_ref[...] = jnp.zeros_like(s_ref)
+        for dy in range(ky - R - 1, ky + R + 2):
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy + (ky - dy)))
             # tile row t sits at window row _GUARD + t; sample row adds dy
             rows = xv_ref[:, _GUARD + dy: _GUARD + dy + tile_h, :]
-            for j, dx in enumerate(range(kx - R - 1, kx + R + 2)):
-                w_map = (wys[i] * wxs[j])[None, :, :]
+            for dx in range(kx - R - 1, kx + R + 2):
+                w_map = wy * jnp.maximum(0.0, 1.0 - jnp.abs(ox + (kx - dx)))
                 window = rows[:, :, P + dx: P + dx + width]
-                term = window * w_map
-                s = term if s is None else s + term
+                s_ref[...] += window * w_map[None, :, :]
 
-        sk = s * mask_ref[0, k][None, :, :]
+        sk = s_ref[...] * mask_ref[0, k][None, :, :]
         wk = w_ref[k]                                # (Co, C)
         for h in range(tile_h):
             acc_ref[:, h, :] += jnp.dot(wk, sk[:, h, :],
@@ -143,6 +137,7 @@ def dcn_pallas(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, Co, Hp, W), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((C, win_h, Wx), jnp.float32),
+            pltpu.VMEM((C, tile_h, W), jnp.float32),
             pltpu.VMEM((Co, tile_h, W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
