@@ -240,7 +240,19 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
                 if len(thresholds) == 0:
                     continue
                 pr = np.zeros([len(thresholds), 4])
+                from ..native import (compute_statistics_thresholds_native,
+                                      load_native)
+
+                use_native = load_native() is not None
                 for i in range(len(gt_annos)):
+                    if use_native:
+                        pr += compute_statistics_thresholds_native(
+                            overlaps[i], dt_datas_list[i][:, -1],
+                            dt_datas_list[i][:, 4], gt_datas_list[i][:, 4],
+                            dt_datas_list[i][:, :4], ignored_gts[i],
+                            ignored_dets[i], dontcares[i], metric, min_overlap,
+                            thresholds, compute_aos)
+                        continue
                     for t, thresh in enumerate(thresholds):
                         tp, fp, fn, similarity, _ = compute_statistics(
                             overlaps[i], gt_datas_list[i], dt_datas_list[i],

@@ -77,3 +77,47 @@ def d3_box_overlap_native(boxes, qboxes, criterion=-1):
 
 def image_box_overlap_native(boxes, qboxes, criterion=-1):
     return _call("image_box_overlap", boxes, qboxes, criterion)
+
+
+def compute_statistics_thresholds_native(overlaps, dt_scores, dt_alphas,
+                                         gt_alphas, dt_bboxes, ignored_gt,
+                                         ignored_det, dc_bboxes, metric,
+                                         min_overlap, thresholds,
+                                         compute_aos) -> np.ndarray:
+    """Accumulate (T, 4) tp/fp/fn/similarity for one image over all
+    thresholds (C++ fast path; falls back handled by caller)."""
+    lib = load_native()
+    assert lib is not None
+    n_dt, n_gt = overlaps.shape if overlaps.size else (len(dt_scores), len(gt_alphas))
+    assert n_dt <= 4096, "per-image detection count exceeds native buffer"
+    fn = lib.compute_statistics_thresholds
+    if not getattr(fn, "_configured", False):
+        dptr = ctypes.POINTER(ctypes.c_double)
+        lptr = ctypes.POINTER(ctypes.c_long)
+        fn.restype = None
+        fn.argtypes = [dptr, dptr, dptr, dptr, dptr, lptr, lptr, dptr,
+                       ctypes.c_long, ctypes.c_long, ctypes.c_long,
+                       ctypes.c_int, ctypes.c_double, dptr, ctypes.c_long,
+                       ctypes.c_int, dptr]
+        fn._configured = True
+
+    def d(x):
+        return np.ascontiguousarray(x, dtype=np.float64)
+
+    def l(x):
+        return np.ascontiguousarray(x, dtype=np.int64)
+
+    dptr = ctypes.POINTER(ctypes.c_double)
+    lptr = ctypes.POINTER(ctypes.c_long)
+    ov = d(overlaps).reshape(n_dt, n_gt) if overlaps.size else np.zeros((max(n_dt,1), max(n_gt,1)))
+    thresholds = d(thresholds)
+    pr = np.zeros((len(thresholds), 4), dtype=np.float64)
+    fn(d(ov).ctypes.data_as(dptr), d(dt_scores).ctypes.data_as(dptr),
+       d(dt_alphas).ctypes.data_as(dptr), d(gt_alphas).ctypes.data_as(dptr),
+       d(dt_bboxes).ctypes.data_as(dptr), l(ignored_gt).ctypes.data_as(lptr),
+       l(ignored_det).ctypes.data_as(lptr),
+       d(dc_bboxes).ctypes.data_as(dptr),
+       n_dt, n_gt, len(dc_bboxes), metric, float(min_overlap),
+       thresholds.ctypes.data_as(dptr), len(thresholds), int(compute_aos),
+       pr.ctypes.data_as(dptr))
+    return pr

@@ -192,3 +192,118 @@ void image_box_overlap(const double* boxes, long n, const double* qboxes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// AP matching statistics: the evaluator's hot loop
+// (reference: kitti_object_eval_python/eval.py:155-337, numba CPU kernels).
+// For one image, accumulate tp/fp/fn/similarity for every score threshold.
+// ---------------------------------------------------------------------------
+
+extern "C" void compute_statistics_thresholds(
+    const double* overlaps,      // (n_dt, n_gt) row-major
+    const double* dt_scores,     // (n_dt)
+    const double* dt_alphas,     // (n_dt)
+    const double* gt_alphas,     // (n_gt)
+    const double* dt_bboxes,     // (n_dt, 4)
+    const long* ignored_gt,      // (n_gt)  0 valid / 1 ignore / -1 skip
+    const long* ignored_det,     // (n_dt)
+    const double* dc_bboxes,     // (n_dc, 4)
+    long n_dt, long n_gt, long n_dc,
+    int metric, double min_overlap,
+    const double* thresholds, long n_thresh,
+    int compute_aos,
+    double* pr) {                // (n_thresh, 4) accumulated in place
+  constexpr double kNoDetection = -10000000.0;
+  for (long t = 0; t < n_thresh; ++t) {
+    const double thresh = thresholds[t];
+    bool assigned[4096];
+    bool ignored_threshold[4096];
+    for (long j = 0; j < n_dt; ++j) {
+      assigned[j] = false;
+      ignored_threshold[j] = dt_scores[j] < thresh;
+    }
+    long tp = 0, fp = 0, fn = 0;
+    double similarity = 0.0;
+    long delta_count = 0;
+    double delta[4096];
+
+    for (long i = 0; i < n_gt; ++i) {
+      if (ignored_gt[i] == -1) continue;
+      long det_idx = -1;
+      double valid_detection = kNoDetection;
+      double max_overlap = 0.0;
+      bool assigned_ignored_det = false;
+      for (long j = 0; j < n_dt; ++j) {
+        if (ignored_det[j] == -1 || assigned[j] || ignored_threshold[j]) continue;
+        const double overlap = overlaps[j * n_gt + i];
+        if (overlap > min_overlap &&
+            (overlap > max_overlap || assigned_ignored_det) &&
+            ignored_det[j] == 0) {
+          max_overlap = overlap;
+          det_idx = j;
+          valid_detection = 1.0;
+          assigned_ignored_det = false;
+        } else if (overlap > min_overlap && valid_detection == kNoDetection &&
+                   ignored_det[j] == 1) {
+          det_idx = j;
+          valid_detection = 1.0;
+          assigned_ignored_det = true;
+        }
+      }
+      if (valid_detection == kNoDetection && ignored_gt[i] == 0) {
+        ++fn;
+      } else if (valid_detection != kNoDetection &&
+                 (ignored_gt[i] == 1 || ignored_det[det_idx] == 1)) {
+        assigned[det_idx] = true;
+      } else if (valid_detection != kNoDetection) {
+        ++tp;
+        if (compute_aos) delta[delta_count++] = gt_alphas[i] - dt_alphas[det_idx];
+        assigned[det_idx] = true;
+      }
+    }
+
+    for (long j = 0; j < n_dt; ++j) {
+      if (!(assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+            ignored_threshold[j])) {
+        ++fp;
+      }
+    }
+    long nstuff = 0;
+    if (metric == 0 && n_dc > 0) {
+      for (long d = 0; d < n_dc; ++d) {
+        const double* dc = dc_bboxes + d * 4;
+        const double dc_area = (dc[2] - dc[0]) * (dc[3] - dc[1]);
+        (void)dc_area;
+        for (long j = 0; j < n_dt; ++j) {
+          if (assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+              ignored_threshold[j]) continue;
+          const double* b = dt_bboxes + j * 4;
+          const double iw = std::min(b[2], dc[2]) - std::max(b[0], dc[0]);
+          const double ih = std::min(b[3], dc[3]) - std::max(b[1], dc[1]);
+          if (iw > 0 && ih > 0) {
+            const double area_b = (b[2] - b[0]) * (b[3] - b[1]);
+            const double ov = area_b > 0 ? iw * ih / area_b : 0.0;  // criterion 0
+            if (ov > min_overlap) {
+              assigned[j] = true;
+              ++nstuff;
+            }
+          }
+        }
+      }
+    }
+    fp -= nstuff;
+    if (compute_aos) {
+      if (tp > 0 || fp > 0) {
+        for (long d = 0; d < delta_count; ++d) {
+          similarity += (1.0 + std::cos(delta[d])) / 2.0;
+        }
+      } else {
+        similarity = -1.0;
+      }
+    }
+    pr[t * 4 + 0] += tp;
+    pr[t * 4 + 1] += fp;
+    pr[t * 4 + 2] += fn;
+    if (compute_aos && similarity != -1.0) pr[t * 4 + 3] += similarity;
+  }
+}

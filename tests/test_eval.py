@@ -225,3 +225,40 @@ class TestNativeKernels:
         for crit in (-1, 0, 1):
             np.testing.assert_allclose(image_box_overlap_native(boxes, q, crit),
                                        image_box_overlap(boxes, q, crit), atol=1e-12)
+
+
+def test_native_statistics_matches_python():
+    """The C++ per-image AP matcher must match the python reference on random
+    scenes across thresholds."""
+    from monoflex_tpu.native import (compute_statistics_thresholds_native,
+                                     load_native)
+
+    if load_native() is None:
+        pytest.skip("no native lib")
+    rng = np.random.RandomState(0)
+    for trial in range(5):
+        n_gt, n_dt = rng.randint(1, 8), rng.randint(1, 10)
+        overlaps = rng.rand(n_dt, n_gt)
+        gt_datas = np.concatenate([rng.rand(n_gt, 4) * 100,
+                                   rng.uniform(-3, 3, (n_gt, 1))], axis=1)
+        dt_datas = np.concatenate([rng.rand(n_dt, 4) * 100,
+                                   rng.uniform(-3, 3, (n_dt, 1)),
+                                   rng.rand(n_dt, 1)], axis=1)
+        ignored_gt = rng.choice([-1, 0, 1], n_gt)
+        ignored_det = rng.choice([-1, 0, 1], n_dt)
+        dc = rng.rand(2, 4) * 100
+        dc[:, 2:] += dc[:, :2]
+        thresholds = np.sort(rng.rand(6))[::-1].copy()
+        for metric in (0, 1):
+            pr_native = compute_statistics_thresholds_native(
+                overlaps, dt_datas[:, -1], dt_datas[:, 4], gt_datas[:, 4],
+                dt_datas[:, :4], ignored_gt, ignored_det, dc, metric, 0.5,
+                thresholds, True)
+            pr_py = np.zeros((len(thresholds), 4))
+            for t, thresh in enumerate(thresholds):
+                tp, fp, fn, sim, _ = compute_statistics(
+                    overlaps, gt_datas, dt_datas, ignored_gt, ignored_det, dc,
+                    metric, 0.5, thresh=thresh, compute_fp=True, compute_aos=True)
+                pr_py[t] = [tp, fp, fn, sim if sim != -1 else 0.0]
+            np.testing.assert_allclose(pr_native, pr_py, atol=1e-9,
+                                       err_msg=f"trial {trial} metric {metric}")
