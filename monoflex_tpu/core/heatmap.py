@@ -10,6 +10,37 @@ from __future__ import annotations
 import numpy as np
 
 
+def get_transform_matrix(center_scale, output_size) -> np.ndarray:
+    """Affine matrix mapping a (center, scale) crop onto the output frame
+    (reference: model/heatmap_coder.py:6-26, scikit-image estimate replaced by
+    a closed-form 3-point solve)."""
+    center, scale = np.asarray(center_scale[0]), np.asarray(center_scale[1])
+    src_w, src_h = scale
+    dst_w, dst_h = output_size
+    src = np.array([
+        center,
+        center - [src_w * 0.5, 0],
+        center - [0, src_h * 0.5],
+    ], dtype=np.float64)
+    dst = np.array([
+        [dst_w * 0.5, dst_h * 0.5],
+        [0, dst_h * 0.5],
+        [dst_w * 0.5, 0],
+    ], dtype=np.float64)
+    # solve [x y 1] @ M.T = dst for the 2x3 affine M, returned 3x3
+    A = np.hstack([src, np.ones((3, 1))])
+    M = np.linalg.solve(A, dst).T           # (2, 3)
+    return np.vstack([M, [0, 0, 1]]).astype(np.float32)
+
+
+def affine_transform(point: np.ndarray, matrix: np.ndarray) -> np.ndarray:
+    """Apply a 3x3 affine to (N, 2) points (reference: model/heatmap_coder.py:28-35)."""
+    point = np.asarray(point, dtype=np.float64).reshape(-1, 2)
+    hom = np.concatenate([point, np.ones((point.shape[0], 1))], axis=1)
+    out = hom @ matrix.T
+    return out[:, :2].squeeze()
+
+
 def gaussian_radius(height: float, width: float, min_overlap: float = 0.7) -> float:
     """Minimum radius such that any center within it keeps IoU >= min_overlap.
 

@@ -249,3 +249,15 @@ def test_draw_ellip_gaussian_1d_degenerate():
     assert hm[50, 0] == 1.0
     assert hm[54, 0] > 0
     assert hm[50, 2] == 0.0
+
+
+def test_affine_transform_helpers():
+    from monoflex_tpu.core.heatmap import affine_transform, get_transform_matrix
+
+    M = get_transform_matrix([(621, 187), (1242, 375)], (320, 96))
+    # image center -> output center; corners scale accordingly
+    np.testing.assert_allclose(affine_transform(np.array([621, 187]), M),
+                               [160, 48], atol=1e-3)
+    out = affine_transform(np.array([[0.0, 187], [621, 0.0]]), M)
+    np.testing.assert_allclose(out[0], [0.0, 48], atol=1e-3)
+    np.testing.assert_allclose(out[1], [160, 0.12], atol=0.2)
