@@ -94,6 +94,14 @@ def main():
                           model=model, visualize=args.vis)
         return
 
+    # snapshot framework source + configs into the run directory
+    # (reference: utils/backup_files.py:57-70)
+    from monoflex_tpu.utils.backup_files import sync_root
+
+    n_backed = sync_root(os.path.join(os.path.dirname(__file__), ".."),
+                         cfg.OUTPUT_DIR)
+    logger.info(f"backed up {n_backed} source files to {cfg.OUTPUT_DIR}/backup")
+
     train_loader = make_train_loader(cfg, train_ds, seed=seed % (2 ** 31))
     train_step = jax.jit(make_train_step(model, loss_computer, tx), donate_argnums=0)
     with mesh:
