@@ -88,3 +88,53 @@ def test_convert_torch_entry_roles():
     assert role == "scale"
     role, val = convert_torch_entry("c1d.weight", np.zeros((256, 256, 3)))
     assert role == "kernel" and val.shape == (3, 256, 256)
+
+
+def test_monoflex_full_map_covers_model(variables):
+    """Every param and BN stat in the model must be covered by the full
+    checkpoint map (exactly — no dangling targets either)."""
+    from monoflex_tpu.utils.monoflex_import import monoflex_name_map
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(RUN_YAML)
+    name_map = monoflex_name_map(cfg)
+    flat_p = flatten_params(variables["params"])
+    flat_s = flatten_params(variables["batch_stats"])
+    all_targets = set(flat_p) | {"stats:" + k for k in flat_s}
+    mapped = set(name_map.values())
+    bogus = mapped - all_targets
+    assert not bogus, f"map targets missing from the model: {sorted(bogus)[:8]}"
+    missing = all_targets - mapped
+    assert not missing, f"model params with no checkpoint source: {sorted(missing)[:10]}"
+
+
+def test_monoflex_synthetic_import(variables):
+    """Random torch-layout state dict -> model trees, end to end."""
+    from monoflex_tpu.utils.monoflex_import import (import_monoflex_checkpoint,
+                                                    monoflex_name_map)
+
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(RUN_YAML)
+    name_map = monoflex_name_map(cfg)
+    flat_p = flatten_params(variables["params"])
+    flat_s = flatten_params(variables["batch_stats"])
+    rng = np.random.RandomState(1)
+    torch_sd = {}
+    for tname, fpath in name_map.items():
+        target = flat_s if fpath.startswith("stats:") else flat_p
+        key = fpath[6:] if fpath.startswith("stats:") else fpath
+        shape = target[key].shape
+        if tname.endswith(".weight") and len(shape) == 4:
+            tshape = (shape[3], shape[2], shape[0], shape[1])
+        elif tname.endswith(".weight") and len(shape) == 3:
+            tshape = (shape[2], shape[1], shape[0])
+        else:
+            tshape = shape
+        torch_sd["module." + tname] = rng.randn(*tshape).astype(np.float32)
+    new_p, new_s, missed = import_monoflex_checkpoint(
+        variables["params"], variables["batch_stats"], torch_sd, cfg, strict=True)
+    assert not missed, missed[:5]
+    # spot check a DCN offset conv kernel landed transposed
+    t = torch_sd["module.backbone.ida_up.proj_1.conv.conv_offset_mask.weight"]
+    f = flatten_params(new_p)["backbone/ida_up/proj_1/DCN_0/Conv_0/kernel"]
+    np.testing.assert_allclose(np.asarray(f), np.transpose(t, (2, 3, 1, 0)), atol=1e-6)
