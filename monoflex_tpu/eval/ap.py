@@ -307,6 +307,62 @@ def do_eval(gt_annos, dt_annos, current_classes, min_overlaps,
     return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
 
 
+def do_coco_style_eval(gt_annos, dt_annos, current_classes, overlap_ranges,
+                       compute_aos=False):
+    """COCO-style AP averaged over an overlap sweep
+    (reference: kitti_object_eval_python/eval.py:625-642).
+    overlap_ranges: (3, num_metrics, num_classes) linspace specs."""
+    min_overlaps = np.zeros([10, *overlap_ranges.shape[1:]])
+    for i in range(overlap_ranges.shape[1]):
+        for j in range(overlap_ranges.shape[2]):
+            lo, hi, num = overlap_ranges[:, i, j]
+            min_overlaps[:, i, j] = np.linspace(lo, hi, int(num))
+    mAP_bbox, mAP_bev, mAP_3d, mAP_aos = do_eval(
+        gt_annos, dt_annos, current_classes, min_overlaps, compute_aos)
+    mAP_bbox = mAP_bbox.mean(-1)
+    mAP_bev = mAP_bev.mean(-1)
+    mAP_3d = mAP_3d.mean(-1)
+    if mAP_aos is not None:
+        mAP_aos = mAP_aos.mean(-1)
+    return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
+
+
+def get_coco_eval_result(gt_annos, dt_annos, current_classes):
+    """Reference COCO-style entry: overlap sweep 0.5:0.05:0.95 for Car,
+    0.25:0.05:0.7 for Pedestrian/Cyclist
+    (reference: kitti_object_eval_python/eval.py:729-787)."""
+    name_to_class = {v: k for k, v in CLASS_TO_NAME.items()}
+    current_classes = [name_to_class[c] if isinstance(c, str) else int(c)
+                       for c in (current_classes if isinstance(current_classes, (list, tuple))
+                                 else [current_classes])]
+    class_to_range = {
+        0: [0.5, 0.95, 10], 1: [0.25, 0.7, 10], 2: [0.25, 0.7, 10],
+        3: [0.5, 0.95, 10], 4: [0.25, 0.7, 10], 5: [0.5, 0.95, 10],
+    }
+    overlap_ranges = np.zeros([3, 3, len(current_classes)])
+    for i, curcls in enumerate(current_classes):
+        overlap_ranges[:, :, i] = np.array(class_to_range[curcls])[:, None]
+    compute_aos = any(a["alpha"].shape[0] and a["alpha"][0] != -10
+                      for a in dt_annos)
+    mAP_bbox, mAP_bev, mAP_3d, mAP_aos = do_coco_style_eval(
+        gt_annos, dt_annos, current_classes, overlap_ranges, compute_aos)
+    result = ""
+    for j, curcls in enumerate(current_classes):
+        cls_name = CLASS_TO_NAME[curcls]
+        o_range = np.array(class_to_range[curcls])[:2]
+        result += (f"{cls_name} coco AP@{o_range[0]:.2f}:0.05:{o_range[1]:.2f}:\n")
+        result += (f"bbox AP:{mAP_bbox[j, 0]:.2f}, {mAP_bbox[j, 1]:.2f}, "
+                   f"{mAP_bbox[j, 2]:.2f}\n")
+        result += (f"bev  AP:{mAP_bev[j, 0]:.2f}, {mAP_bev[j, 1]:.2f}, "
+                   f"{mAP_bev[j, 2]:.2f}\n")
+        result += (f"3d   AP:{mAP_3d[j, 0]:.2f}, {mAP_3d[j, 1]:.2f}, "
+                   f"{mAP_3d[j, 2]:.2f}\n")
+        if compute_aos:
+            result += (f"aos  AP:{mAP_aos[j, 0]:.2f}, {mAP_aos[j, 1]:.2f}, "
+                       f"{mAP_aos[j, 2]:.2f}\n")
+    return result, (mAP_bbox, mAP_bev, mAP_3d, mAP_aos)
+
+
 def get_official_eval_result(gt_annos, dt_annos, current_classes,
                              metric="R40") -> Tuple[str, Dict[str, float]]:
     overlap_0_7 = np.array([[0.7, 0.5, 0.5, 0.7, 0.5, 0.7]] * 3)

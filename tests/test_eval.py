@@ -262,3 +262,18 @@ def test_native_statistics_matches_python():
                 pr_py[t] = [tp, fp, fn, sim if sim != -1 else 0.0]
             np.testing.assert_allclose(pr_native, pr_py, atol=1e-9,
                                        err_msg=f"trial {trial} metric {metric}")
+
+
+def test_coco_style_eval():
+    from monoflex_tpu.eval.ap import get_coco_eval_result
+
+    gts, dts = [], []
+    for i in range(45):
+        entries = [car(score=0.9)]
+        gts.append(make_anno(entries))
+        dts.append(make_anno(entries))
+    result, (bbox, bev, d3, aos) = get_coco_eval_result(gts, dts, ["Car"])
+    assert "coco AP@0.50:0.05:0.95" in result
+    # perfect predictions at every overlap -> 100 across the sweep
+    assert bbox[0, 1] == pytest.approx(100.0, abs=1e-6)
+    assert d3[0, 1] == pytest.approx(100.0, abs=1e-6)
