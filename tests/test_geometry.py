@@ -261,3 +261,15 @@ def test_affine_transform_helpers():
     out = affine_transform(np.array([[0.0, 187], [621, 0.0]]), M)
     np.testing.assert_allclose(out[0], [0.0, 48], atol=1e-3)
     np.testing.assert_allclose(out[1], [160, 0.12], atol=0.2)
+
+
+def test_head_axis_orientation_decode():
+    import jax.numpy as jnp
+    from monoflex_tpu.core import geometry_jax as GJ
+
+    # axis class 1 (pi/2 family), heading 0, zero offset -> alpha = pi/2
+    v = jnp.array([[-5.0, 5.0, 5.0, -5.0, 0.0, 1.0]])
+    locs = jnp.array([[0.0, 0.0, 20.0]])
+    roty, alpha = GJ.decode_axes_orientation_head_axis(v, locs)
+    assert abs(float(alpha[0]) - math.pi / 2) < 1e-5
+    assert abs(float(roty[0]) - math.pi / 2) < 1e-5  # ray = 0 at x=0
