@@ -127,11 +127,21 @@ def inference(cfg, eval_step, state, dataset, output_dir: str,
               metrics=("R40",), logger: Optional[logging.Logger] = None,
               output_depth: Optional[str] = None, model=None,
               visualize: bool = False) -> Dict[str, float]:
+    """Multi-host aware: each process decodes its contiguous dataset shard
+    into the shared prediction directory, then process 0 evaluates
+    (reference: engine/inference.py:86-121, comm.synchronize + rank gate)."""
+    from ..utils import comm
+
     logger = logger or logging.getLogger("monoflex.inference")
-    loader = make_test_loader(cfg, dataset, batch_size=max(1, cfg.TEST.IMS_PER_BATCH))
+    loader = make_test_loader(cfg, dataset, rank=comm.get_rank(),
+                              world_size=comm.get_world_size(),
+                              batch_size=max(1, cfg.TEST.IMS_PER_BATCH))
     pred_dir = os.path.join(output_dir, "data")
     stats = compute_on_dataset(eval_step, state, loader, pred_dir,
                                output_depth=output_depth, logger=logger)
+    comm.synchronize("inference_done")
+    if not comm.is_main_process():
+        return stats
     if model is not None and (cfg.TEST.EVAL_DEPTH or cfg.TEST.EVAL_DIS_IOUS):
         loader_d = make_test_loader(cfg, dataset,
                                     batch_size=max(1, cfg.TEST.IMS_PER_BATCH))
