@@ -62,12 +62,19 @@ def main():
     r, v = infer(variables, batch)
     jax.block_until_ready(r)
 
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     start = time.perf_counter()
     for _ in range(iters):
         r, v = infer(variables, batch)
     jax.block_until_ready(r)
     elapsed = time.perf_counter() - start
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     img_per_s = batch_size * iters / elapsed
     print(json.dumps({
