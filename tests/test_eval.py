@@ -277,3 +277,26 @@ def test_coco_style_eval():
     # perfect predictions at every overlap -> 100 across the sweep
     assert bbox[0, 1] == pytest.approx(100.0, abs=1e-6)
     assert d3[0, 1] == pytest.approx(100.0, abs=1e-6)
+
+
+def test_get_label_annos_with_ids(tmp_path):
+    from monoflex_tpu.eval.kitti_common import get_label_annos
+
+    for i, n in [(0, 2), (3, 1)]:
+        lines = ["Car 0.0 0 0.5 100 150 300 250 1.48 1.60 3.90 2.5 1.65 15.0 -1.39 0.9"] * n
+        (tmp_path / f"{i:06d}.txt").write_text("\n".join(lines) + "\n")
+    annos = get_label_annos(str(tmp_path), ["000000", "000003"])
+    assert len(annos) == 2
+    assert annos[0]["name"].shape == (2,)
+    assert annos[1]["score"][0] == 0.9
+    # dims converted to (l, h, w)
+    np.testing.assert_allclose(annos[0]["dimensions"][0], [3.90, 1.48, 1.60])
+
+
+def test_empty_prediction_file(tmp_path):
+    from monoflex_tpu.eval.kitti_common import get_label_anno
+
+    (tmp_path / "e.txt").write_text("")
+    anno = get_label_anno(str(tmp_path / "e.txt"))
+    assert anno["bbox"].shape == (0, 4)
+    assert anno["name"].shape == (0,)
