@@ -1,0 +1,110 @@
+"""Train / evaluate MonoFlex-TPU — the CLI implementation.
+
+Invoked as `python tools/plain_train_net.py ...` (reference CLI parity) or
+the installed `monoflex-train` console script.
+"""
+
+import os
+
+import jax
+
+# MONOFLEX_PLATFORM=cpu|tpu overrides the backend (some environments pre-pin
+# jax_platforms at interpreter startup, so an env var alone is not enough)
+if os.environ.get("MONOFLEX_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MONOFLEX_PLATFORM"])
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("MONOFLEX_COMPILE_CACHE",
+                                 os.path.join(os.getcwd(), ".jax_cache")))
+
+import jax.numpy as jnp
+
+from .config import DatasetCatalog
+from .data.dataset import KITTIDataset
+from .data.loader import collate, make_train_loader
+from .decode.postprocessor import PostProcessor
+from .engine.defaults import default_argument_parser, default_setup, setup
+from .engine.inference import inference, inference_all_depths
+from .engine.trainer import do_train
+from .losses.loss_computation import LossComputer
+from .models.detector import build_model
+from .parallel.mesh import make_mesh, replicated
+from .train.checkpoint import Checkpointer
+from .train.solver import build_optimizer
+from .train.train_step import (TrainState, make_eval_step,
+                                           make_train_step)
+
+
+def build_datasets(cfg):
+    train_name = cfg.DATASETS.TRAIN[0]
+    test_name = cfg.DATASETS.TEST[0]
+    train_root = DatasetCatalog.get(train_name)["args"]["root"]
+    test_root = DatasetCatalog.get(test_name)["args"]["root"]
+    train_ds = KITTIDataset(cfg, train_root, is_train=True)
+    eval_ds = KITTIDataset(cfg, test_root, is_train=False)
+    return train_ds, eval_ds
+
+
+def main():
+    args = default_argument_parser().parse_args()
+    cfg = setup(args)
+    logger, seed = default_setup(cfg, args)
+
+    model = build_model(cfg)
+    post = PostProcessor(cfg)
+    loss_computer = LossComputer(cfg)
+
+    train_ds, eval_ds = build_datasets(cfg)
+    sample = collate([train_ds[0]])
+    sample = {k: jnp.asarray(v) for k, v in sample.items()}
+    variables = model.init(jax.random.PRNGKey(seed % (2 ** 31)), sample["image"],
+                           sample.get("edge_indices"), sample.get("edge_len"),
+                           train=False)
+
+    steps_per_epoch = max(1, len(train_ds) // cfg.SOLVER.IMS_PER_BATCH)
+    tx, schedule = build_optimizer(cfg, variables["params"], steps_per_epoch)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+
+    checkpointer = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "ckpt"),
+                                cfg.SOLVER.LOAD_OPTIMIZER_SCHEDULER)
+    ckpt_path = cfg.MODEL.WEIGHT or None
+    state, start_iter = checkpointer.load(state, ckpt_path)
+    if start_iter:
+        logger.info(f"resumed from iteration {start_iter}")
+
+    mesh = make_mesh(args.num_chips)
+    state = jax.device_put(state, replicated(mesh))
+    eval_step = jax.jit(make_eval_step(model, post), static_argnames="output_depth")
+
+    if args.eval or args.test:
+        ds = eval_ds
+        out = os.path.join(cfg.OUTPUT_DIR, "inference")
+        with mesh:
+            if args.eval_all_depths:
+                inference_all_depths(cfg, eval_step, state, ds, out, logger=logger)
+            else:
+                inference(cfg, eval_step, state, ds, out,
+                          metrics=cfg.TEST.METRIC, logger=logger,
+                          model=model, visualize=args.vis)
+        return
+
+    # snapshot framework source + configs into the run directory
+    # (reference: utils/backup_files.py:57-70)
+    from .utils.backup_files import sync_root
+
+    n_backed = sync_root(os.path.dirname(os.path.abspath(__file__)),
+                         cfg.OUTPUT_DIR)
+    logger.info(f"backed up {n_backed} source files to {cfg.OUTPUT_DIR}/backup")
+
+    train_loader = make_train_loader(cfg, train_ds, seed=seed % (2 ** 31))
+    train_step = jax.jit(make_train_step(model, loss_computer, tx), donate_argnums=0)
+    with mesh:
+        do_train(cfg, model, train_step, eval_step, state, train_loader,
+                 eval_dataset=eval_ds, mesh=mesh, schedule=schedule,
+                 logger=logger, start_iter=start_iter,
+                 profile_steps=args.profile)
+
+
+if __name__ == "__main__":
+    main()
