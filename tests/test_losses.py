@@ -190,3 +190,36 @@ class TestRotatedIoU:
                             jnp.array([[0.0, 1.0, 20.0]]))  # half-height offset
         # volume overlap = 4*2*1 (h overlap 1m of 2m), union = 2*16-8
         np.testing.assert_allclose(np.asarray(iou_3d_pairs(a, b)), [8 / 24], atol=1e-4)
+
+
+class TestRotatedIoUEdgeCases:
+    def test_degenerate_zero_area(self):
+        import jax.numpy as jnp
+
+        from monoflex_tpu.ops.rotated_iou import rotated_iou_pairs
+
+        a = jnp.zeros((1, 4, 2))  # all corners at origin
+        b = jnp.array([[[0.0, 0], [1, 0], [1, 1], [0, 1]]])
+        iou = rotated_iou_pairs(a, b)
+        assert np.isfinite(float(iou[0]))
+        assert float(iou[0]) == 0.0
+
+    def test_contained_box(self):
+        import jax.numpy as jnp
+
+        from monoflex_tpu.ops.rotated_iou import rotated_iou_pairs
+
+        outer = jnp.array([[[0.0, 0], [4, 0], [4, 4], [0, 4]]])
+        inner = jnp.array([[[1.0, 1], [3, 1], [3, 3], [1, 3]]])
+        np.testing.assert_allclose(np.asarray(rotated_iou_pairs(inner, outer)),
+                                   [4 / 16], atol=1e-5)
+
+    def test_clockwise_winding_handled(self):
+        import jax.numpy as jnp
+
+        from monoflex_tpu.ops.rotated_iou import rotated_iou_pairs
+
+        ccw = jnp.array([[[0.0, 0], [2, 0], [2, 2], [0, 2]]])
+        cw = jnp.array([[[0.0, 0], [0, 2], [2, 2], [2, 0]]])
+        np.testing.assert_allclose(np.asarray(rotated_iou_pairs(ccw, cw)), [1.0],
+                                   atol=1e-5)

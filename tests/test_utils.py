@@ -84,3 +84,39 @@ def test_uncertainty_weights():
     out, reg = apply_uncertainty_weights(losses, lv)
     np.testing.assert_allclose(float(out["a"]), 2.0 * np.exp(-1.0), rtol=1e-6)
     np.testing.assert_allclose(float(reg), 0.5, rtol=1e-6)
+
+
+def test_comm_single_process():
+    from monoflex_tpu.utils import comm
+
+    assert comm.get_rank() == 0
+    assert comm.get_world_size() == 1
+    assert comm.is_main_process()
+    comm.synchronize()  # no-op single process
+    assert comm.broadcast_object({"a": 1}) == {"a": 1}
+    assert isinstance(comm.shared_random_seed(), int)
+
+
+def test_launch_single_process():
+    from monoflex_tpu.engine.launch import get_rank, get_world_size, launch, synchronize
+
+    called = {}
+
+    def main_fn(x):
+        called["x"] = x
+
+    launch(main_fn, None, None, None, 42)
+    assert called["x"] == 42
+    assert get_rank() == 0 and get_world_size() == 1
+    synchronize()
+
+
+def test_model_catalog_unknown():
+    import pytest as _pytest
+
+    from monoflex_tpu.config.paths_catalog import DatasetCatalog, ModelCatalog
+
+    with _pytest.raises(RuntimeError):
+        ModelCatalog.get("catalog://NO/SUCH")
+    with _pytest.raises(RuntimeError):
+        DatasetCatalog.get("nope")
