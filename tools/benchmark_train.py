@@ -35,6 +35,9 @@ def main():
     cfg = get_cfg_defaults()
     cfg.merge_from_file(os.path.join(os.path.dirname(__file__), "..",
                                      "runs", "monoflex.yaml"))
+    impl = os.environ.get("BENCH_DCN_IMPL")
+    if impl == "shift":
+        cfg.TPU.USE_PALLAS_DCN = False
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     model = build_model(cfg)
     loss_computer = LossComputer(cfg)
