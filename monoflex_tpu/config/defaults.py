@@ -29,6 +29,9 @@ _C.INPUT.WIDTH_TEST = 1280
 _C.INPUT.PIXEL_MEAN = [0.485, 0.456, 0.406]
 _C.INPUT.PIXEL_STD = [0.229, 0.224, 0.225]
 _C.INPUT.TO_BGR = False
+# ship uint8 images and normalize on-device inside the jitted forward
+# (TPU-first host pipeline; set False to pre-normalize on the CPU loader)
+_C.INPUT.DEVICE_NORMALIZE = True
 _C.INPUT.MODIFY_ALPHA = False
 _C.INPUT.USE_APPROX_CENTER = False
 _C.INPUT.HEATMAP_CENTER = "3D"

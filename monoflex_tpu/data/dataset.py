@@ -50,6 +50,7 @@ class KITTIDataset:
         self.pixel_mean = np.asarray(cfg.INPUT.PIXEL_MEAN, dtype=np.float32)
         self.pixel_std = np.asarray(cfg.INPUT.PIXEL_STD, dtype=np.float32)
         self.to_bgr = bool(cfg.INPUT.TO_BGR)
+        self.device_normalize = bool(cfg.INPUT.DEVICE_NORMALIZE)
 
         self.rng = random.Random(seed)
         self.augmentations = build_augmentations(cfg.INPUT.AUG_PARAMS) if (is_train and augment) else []
@@ -111,7 +112,12 @@ class KITTIDataset:
 
         sample = encode_targets(
             objs if self.split != "test" else None, calib, (img_w, img_h), pad_size, self.spec)
-        sample["image"] = self.normalize(padded)
+        if self.device_normalize:
+            # ship raw uint8: 4x smaller host->device transfer, ~10 ms/img
+            # less host work; the model normalizes on-device (detector.py)
+            sample["image"] = padded.astype(np.uint8)
+        else:
+            sample["image"] = self.normalize(padded)
         sample["image_id"] = np.array(int(original_idx), dtype=np.int32)
         return sample
 

@@ -61,7 +61,7 @@ def make_dummy_batch(batch_size: int, input_height: int = 384, input_width: int 
     P[:, 0, 2] = input_width / 2; P[:, 1, 2] = input_height / 2; P[:, 2, 2] = 1.0
 
     return {
-        "image": rng.randn(B, input_height, input_width, 3).astype(np.float32),
+        "image": rng.randint(0, 256, (B, input_height, input_width, 3)).astype(np.uint8),
         "hm": hm,
         "cls_ids": cls_ids,
         "target_centers": centers,

@@ -24,8 +24,10 @@ from ..eval import evaluate_python
 from ..utils.timer import Timer
 from ..core.geometry import Calibration
 
+# default 8-way sweep matches the reference exactly, oracle included
+# (reference: engine/inference.py:154)
 DEPTH_METHODS = ["direct", "keypoints_center", "keypoints_02", "keypoints_13",
-                 "keypoints_avg", "hard", "soft", "mean"]
+                 "hard", "soft", "mean", "oracle"]
 
 
 def compute_on_dataset(eval_step, state, loader, output_dir: str,

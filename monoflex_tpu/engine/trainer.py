@@ -24,6 +24,7 @@ import numpy as np
 
 from ..parallel.mesh import shard_batch
 from ..train.checkpoint import Checkpointer
+from ..utils import comm
 from ..utils.metric_logger import MetricLogger
 from .inference import inference
 
@@ -31,12 +32,20 @@ DEFAULT_KEY_METRIC = "Car_3d_0.70/moderate"
 
 
 class ScalarWriter:
-    """TensorBoard if torch is importable, JSONL always."""
+    """TensorBoard if torch is importable, JSONL always.
+
+    Writes only on the main process (reference rank-gates all output:
+    tools/plain_train_net.py:62); other ranks get a no-op writer so a
+    multi-host pod never has two processes appending to one file."""
 
     def __init__(self, log_dir: str):
+        self.enabled = comm.is_main_process()
+        self.jsonl = None
+        self.tb = None
+        if not self.enabled:
+            return
         os.makedirs(log_dir, exist_ok=True)
         self.jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
-        self.tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -45,6 +54,8 @@ class ScalarWriter:
             pass
 
     def write(self, step: int, scalars: Dict[str, float], prefix: str = "") -> None:
+        if not self.enabled:
+            return
         record = {"step": step}
         for k, v in scalars.items():
             key = f"{prefix}{k}"
@@ -55,7 +66,8 @@ class ScalarWriter:
         self.jsonl.flush()
 
     def close(self) -> None:
-        self.jsonl.close()
+        if self.jsonl is not None:
+            self.jsonl.close()
         if self.tb is not None:
             self.tb.close()
 
@@ -118,17 +130,16 @@ def do_train(cfg, model, train_step, eval_step, state, train_loader,
 
         if iteration % 10 == 0 or iteration == max_iter:
             metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            if metrics.get("skipped", 0.0) > 0:
-                consecutive_skips += 10
-                if consecutive_skips >= MAX_CONSECUTIVE_SKIPS:
-                    logger.error(
-                        f"aborting: {consecutive_skips}+ consecutive non-finite "
-                        f"steps (bad data or diverged optimizer)")
-                    checkpointer.save("model_aborted", state)
-                    writer.close()
-                    return state
-            else:
-                consecutive_skips = 0
+            # exact device-side counter (train_step.py accumulates it in
+            # TrainState, so no non-finite step can hide between log points)
+            consecutive_skips = int(metrics.get("consecutive_skips", 0.0))
+            if consecutive_skips >= MAX_CONSECUTIVE_SKIPS:
+                logger.error(
+                    f"aborting: {consecutive_skips} consecutive non-finite "
+                    f"steps (bad data or diverged optimizer)")
+                checkpointer.save("model_aborted", state)
+                writer.close()
+                return state
             batch_time = time.time() - end
             meters.update(time=batch_time, data=data_time, **metrics)
             eta = datetime.timedelta(

@@ -202,6 +202,7 @@ class DCN(nn.Module):
     dilation: int = 1
     impl: str = "shift"
     max_offset: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -211,8 +212,9 @@ class DCN(nn.Module):
                      padding=[(self.padding,) * 2] * 2,
                      kernel_dilation=(self.dilation,) * 2,
                      kernel_init=nn.initializers.zeros,
-                     bias_init=nn.initializers.zeros)(x)
-        o1, o2, mask_logits = jnp.split(om, 3, axis=-1)
+                     bias_init=nn.initializers.zeros,
+                     dtype=self.dtype)(x)
+        o1, o2, mask_logits = jnp.split(om.astype(jnp.float32), 3, axis=-1)
         offset = jnp.concatenate([o1, o2], axis=-1)
         mask = nn.sigmoid(mask_logits)
 
@@ -242,15 +244,18 @@ class DeformConvBlock(nn.Module):
     features: int
     dcn_impl: str = "shift"
     max_offset: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.dcn_impl == "none":
-            x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)])(x)
+            x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                        dtype=self.dtype)(x)
         else:
-            x = DCN(self.features, impl=self.dcn_impl, max_offset=self.max_offset)(x)
+            x = DCN(self.features, impl=self.dcn_impl,
+                    max_offset=self.max_offset, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -283,7 +288,7 @@ class BilinearUp(nn.Module):
         # spatially flipped kernel and padding k-1-f/2 per side
         pad = 2 * f - 1 - f // 2
         return jax.lax.conv_general_dilated(
-            x, kernel[::-1, ::-1],
+            x, kernel[::-1, ::-1].astype(x.dtype),
             window_strides=(1, 1),
             padding=[(pad, pad), (pad, pad)],
             lhs_dilation=(f, f),
@@ -300,6 +305,7 @@ class IDAUp(nn.Module):
     up_factors: Sequence[int]
     dcn_impl: str = "shift"
     dcn_max_offset: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
@@ -308,10 +314,12 @@ class IDAUp(nn.Module):
             f = int(self.up_factors[i])
             proj = DeformConvBlock(self.out_channels, dcn_impl=self.dcn_impl,
                                    max_offset=self.dcn_max_offset,
+                                   dtype=self.dtype,
                                    name=f"proj_{i}")(layers[i], train=train)
             up = BilinearUp(f, name=f"up_{i}")(proj) if f > 1 else proj
             layers[i] = DeformConvBlock(self.out_channels, dcn_impl=self.dcn_impl,
                                         max_offset=self.dcn_max_offset,
+                                        dtype=self.dtype,
                                         name=f"node_{i}")(
                 up + layers[i - 1], train=train)
         return layers
@@ -325,6 +333,7 @@ class DLAUp(nn.Module):
     scales: Sequence[int]
     dcn_impl: str = "shift"
     dcn_max_offset: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, layers: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
@@ -336,7 +345,7 @@ class DLAUp(nn.Module):
             j = -i - 2
             ida = IDAUp(channels[j], (scales[j:] // scales[j]).tolist(),
                         dcn_impl=self.dcn_impl, dcn_max_offset=self.dcn_max_offset,
-                        name=f"ida_{i}")
+                        dtype=self.dtype, name=f"ida_{i}")
             merged = ida(layers[j:], train=train)
             layers[j:] = merged
             scales[j + 1:] = scales[j]
@@ -362,20 +371,21 @@ class DLASeg(nn.Module):
         first_level = int(math.log2(self.down_ratio))
         feats = DLA(self.levels, self.channels, dtype=self.dtype,
                     name="base")(x, train=train)
-        # the DCN neck runs in f32 (the Pallas kernel accumulates f32 anyway)
-        feats = [f.astype(jnp.float32) for f in feats]
+        # neck runs in the compute dtype; the Pallas DCN kernel accumulates
+        # f32 either way and picks bf16 window math when fed bf16
+        feats = [f.astype(self.dtype) for f in feats]
 
         ch = list(self.channels[first_level:])
         scales = [2 ** i for i in range(len(ch))]
         pyramid = DLAUp(ch, scales, dcn_impl=self.dcn_impl,
-                        dcn_max_offset=self.dcn_max_offset,
+                        dcn_max_offset=self.dcn_max_offset, dtype=self.dtype,
                         name="dla_up")(feats[first_level:], train=train)
 
         n_final = self.last_level - first_level
         y = [pyramid[i] for i in range(n_final)]
         y = IDAUp(self.channels[first_level],
                   [2 ** i for i in range(n_final)], dcn_impl=self.dcn_impl,
-                  dcn_max_offset=self.dcn_max_offset,
+                  dcn_max_offset=self.dcn_max_offset, dtype=self.dtype,
                   name="ida_up")(y, train=train)
         return y[-1]
 

@@ -137,8 +137,11 @@ def modulated_deform_conv_shift(x: jnp.ndarray, offset: jnp.ndarray,
     with hat(t) = max(0, 1 - |t|).  Every term is a dense static shift times
     an elementwise weight -> the whole thing fuses onto the VPU, and the
     per-tap contraction onto the MXU.  The weights are non-separable (they
-    depend on the OUTPUT pixel), so the window is quadratic: (2R+3)^2 fused
-    passes per tap.
+    depend on the OUTPUT pixel), so the window is quadratic: (2R+1)^2 fused
+    passes per tap.  (The window range is exact: hat(o + k - d) with
+    o in [-R, R] is nonzero only for d in (o+k-1, o+k+1), and the only
+    integers that interval can contain lie in [k-R, k+R] — at o = +-R the
+    boundary term's weight is hat(+-1) = 0 exactly.)
 
     Learned offsets are clamped to [-max_offset, max_offset] feature-map
     pixels (a TPU-design deviation: the reference CUDA kernel is unbounded,
@@ -165,10 +168,10 @@ def modulated_deform_conv_shift(x: jnp.ndarray, offset: jnp.ndarray,
         oy_k = oy[..., k]
         ox_k = ox[..., k]
         s = None
-        for dy in range(ky - R - 1, ky + R + 2):
+        for dy in range(ky - R, ky + R + 1):
             wy = hat(oy_k + ky - dy)
             row = None
-            for dx in range(kx - R - 1, kx + R + 2):
+            for dx in range(kx - R, kx + R + 1):
                 w = (wy * hat(ox_k + kx - dx))[..., None].astype(x.dtype)
                 term = _shift2d(x, dy, dx) * w
                 row = term if row is None else row + term

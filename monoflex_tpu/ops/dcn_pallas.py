@@ -11,24 +11,35 @@ and XLA's HBM row-gather runs ~40x slower than a conv.  Instead each
 deformable sample is expanded over a bounded window of STATIC shifts with
 per-pixel hat weights:
 
-    sample_k(p) = sum_{dy,dx in [-R-1, R+1]} hat(oy_k+ky-dy) * hat(ox_k+kx-dx)
+    sample_k(p) = sum_{dy,dx in [k - R, k + R]} hat(oy_k+ky-dy) * hat(ox_k+kx-dx)
                   * x[p + (dy,dx)]         with hat(t) = max(0, 1-|t|)
 
 Offsets are clamped to [-R, R] (R = max_offset; the XLA implementation
 ``ops.dcn.modulated_deform_conv_shift`` shares these semantics and serves as
 the test oracle; the exact unbounded gather path also remains available).
 
+The window range is EXACT, not truncated: hat(o + k - d) with o in [-R, R]
+is nonzero only for integer d in (o+k-1, o+k+1) which is contained in
+[k-R, k+R]; at o = +-R the neighbouring term's weight is hat(+-1) = 0.  So
+the kernel runs (2R+1)^2 shift terms per tap (round 1 conservatively ran
+(2R+3)^2 — a ~2x VPU overspend on provably-zero terms).
+
 Kernel structure: grid (B, H/tile_h).  The input feature map lives in HBM;
 each grid step DMAs an 8-row-aligned (tile_h + 16)-row halo window into VMEM
 scratch (Mosaic requires sublane-aligned starts, so the halo is absorbed into
-a fixed 8-row guard band), accumulates all (2R+3)^2 shift terms per tap on
+a fixed 8-row guard band), accumulates all (2R+1)^2 shift terms per tap on
 the VPU, applies the sigmoid mask, and contracts channels on the MXU.  HBM
-traffic: one (3.2x-overlapped) read of x, one read of offsets/mask, one write
+traffic: one (halo-overlapped) read of x, one read of offsets/mask, one write
 of the output — the XLA emission of the same math materializes 40+
 intermediates and is bandwidth-bound.
 
+Mixed precision: with compute_dtype=bfloat16 the window accumulation and the
+tap matmuls run in bf16 (fewer vector registers to move per term; MXU-native
+input dtype) with f32 output accumulation.  bf16 VMEM tiles are (16, 128) so
+the row tile grows to 16 (which also halves the halo read amplification).
+
 Layouts (chosen for the TPU memory model): channels on sublanes, W on lanes.
-    x:      (B, C, H + 16 + pad, W + 2P)  spatially pre-padded
+    x:      (B, C, H + 2*GUARD + pad, W + 2P)  spatially pre-padded, P = R+1
     offset: (B, 18, H, W)                 channel 2k = dy_k, 2k+1 = dx_k
     mask:   (B, 9, H, W)                  post-sigmoid
     weight: (9, Co, C)                    pre-transposed taps
@@ -46,16 +57,25 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_GUARD = 8  # vertical guard band; must be >= P and a multiple of 8
+_GUARD = 8  # vertical guard band; must be >= P = R+1 and a multiple of 8
+
+
+def _pick_tile_h(H: int, compute_dtype) -> int:
+    """Row-tile size: matches the VMEM sublane tile (8 for f32, 16 for bf16)
+    so no sublane padding is wasted; small maps use one tile."""
+    base = 16 if compute_dtype == jnp.bfloat16 else 8
+    if H <= 2 * base:
+        return base * max(1, -(-H // base))  # whole map in one tile
+    return base
 
 
 def _dcn_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, s_ref,
-                acc_ref, sem, *, tile_h: int, width: int, max_offset: int):
+                acc_ref, sem, *, tile_h: int, width: int, max_offset: int,
+                compute_dtype):
     R = max_offset
-    P = R + 2
-    Co = out_ref.shape[1]
+    P = R + 1
     b = pl.program_id(0)
-    row0 = pl.program_id(1) * tile_h          # multiple of 8 (tile_h == 8)
+    row0 = pl.program_id(1) * tile_h          # multiple of the sublane tile
     win_h = xv_ref.shape[1]                    # tile_h + 2 * _GUARD
 
     # fetch the halo window: padded rows [row0, row0 + win_h)
@@ -67,20 +87,20 @@ def _dcn_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, s_ref,
     acc_ref[...] = jnp.zeros_like(acc_ref)
     for k in range(9):
         ky, kx = k // 3 - 1, k % 3 - 1
-        oy = jnp.clip(off_ref[0, 2 * k], -R, R)        # (tile_h, W)
+        oy = jnp.clip(off_ref[0, 2 * k], -R, R)        # (tile_h, W) f32
         ox = jnp.clip(off_ref[0, 2 * k + 1], -R, R)
 
         s_ref[...] = jnp.zeros_like(s_ref)
-        for dy in range(ky - R - 1, ky + R + 2):
+        for dy in range(ky - R, ky + R + 1):
             wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy + (ky - dy)))
             # tile row t sits at window row _GUARD + t; sample row adds dy
             rows = xv_ref[:, _GUARD + dy: _GUARD + dy + tile_h, :]
-            for dx in range(kx - R - 1, kx + R + 2):
+            for dx in range(kx - R, kx + R + 1):
                 w_map = wy * jnp.maximum(0.0, 1.0 - jnp.abs(ox + (kx - dx)))
                 window = rows[:, :, P + dx: P + dx + width]
-                s_ref[...] += window * w_map[None, :, :]
+                s_ref[...] += window * w_map[None].astype(compute_dtype)
 
-        sk = s_ref[...] * mask_ref[0, k][None, :, :]
+        sk = s_ref[...] * mask_ref[0, k][None].astype(compute_dtype)
         wk = w_ref[k]                                # (Co, C)
         for h in range(tile_h):
             acc_ref[:, h, :] += jnp.dot(wk, sk[:, h, :],
@@ -88,20 +108,24 @@ def _dcn_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, s_ref,
     out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("max_offset", "tile_h"))
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
 def dcn_pallas(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
-               max_offset: int = 3, tile_h: int = 8) -> jnp.ndarray:
+               max_offset: int = 3, compute_dtype=None) -> jnp.ndarray:
     """NHWC modulated deformable conv via the Pallas kernel.
 
     x (B,H,W,C); offset (B,H,W,18) interleaved (dy,dx); mask (B,H,W,9);
-    weight (3,3,C,Co).  Returns (B,H,W,Co) in x.dtype.
+    weight (3,3,C,Co).  compute_dtype: f32 (default) or bf16 window math.
+    Returns (B,H,W,Co) in x.dtype.
     """
     B, H, W, C = x.shape
     Co = weight.shape[-1]
     R = max_offset
-    P = R + 2
+    P = R + 1
     assert P <= _GUARD, "max_offset too large for the 8-row guard band"
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    tile_h = _pick_tile_h(H, compute_dtype)
 
     pad_h = (-H) % tile_h
     Hp = H + pad_h
@@ -110,7 +134,7 @@ def dcn_pallas(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     # minor (lane) dim of the DMA'd buffer must be 128-aligned
     Wx = W + 2 * P
     Wx = Wx + (-Wx) % 128
-    xt = jnp.transpose(x, (0, 3, 1, 2)).astype(jnp.float32)
+    xt = jnp.transpose(x, (0, 3, 1, 2)).astype(compute_dtype)
     # vertical: guard band above + guard and tile padding below
     xt = jnp.pad(xt, ((0, 0), (0, 0),
                       (_GUARD, _GUARD + pad_h), (P, Wx - W - P)))
@@ -119,11 +143,12 @@ def dcn_pallas(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     if pad_h:
         off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
         mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
-    w_t = jnp.transpose(weight.reshape(9, C, Co), (0, 2, 1)).astype(jnp.float32)
+    w_t = jnp.transpose(weight.reshape(9, C, Co), (0, 2, 1)).astype(compute_dtype)
 
     grid = (B, Hp // tile_h)
     kernel = functools.partial(_dcn_kernel, tile_h=tile_h, width=W,
-                               max_offset=max_offset)
+                               max_offset=max_offset,
+                               compute_dtype=compute_dtype)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -136,8 +161,8 @@ def dcn_pallas(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
         out_specs=pl.BlockSpec((1, Co, tile_h, W), lambda b, h: (b, 0, h, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Co, Hp, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((C, win_h, Wx), jnp.float32),
-            pltpu.VMEM((C, tile_h, W), jnp.float32),
+            pltpu.VMEM((C, win_h, Wx), compute_dtype),
+            pltpu.VMEM((C, tile_h, W), compute_dtype),
             pltpu.VMEM((Co, tile_h, W), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],

@@ -15,6 +15,7 @@ from typing import Any, Optional, Tuple
 import jax
 import orbax.checkpoint as ocp
 
+from ..utils import comm
 from .train_step import TrainState
 
 LAST_CHECKPOINT_FILE = "last_checkpoint"
@@ -29,12 +30,17 @@ class Checkpointer:
 
     # -- save --------------------------------------------------------------
     def save(self, name: str, state: TrainState, tag_last: bool = True) -> str:
+        """Rank-gated on the main process (the reference gates every save on
+        rank 0, utils/check_point.py:25-28); on a multi-host pod only process
+        0 writes, others still synchronize on the returned path name."""
         path = os.path.join(self.save_dir, name)
-        self._ckptr.save(path, jax.device_get(state), force=True)
-        self._ckptr.wait_until_finished()
-        if tag_last:
-            with open(os.path.join(self.save_dir, LAST_CHECKPOINT_FILE), "w") as f:
-                f.write(name)
+        if comm.is_main_process():
+            self._ckptr.save(path, jax.device_get(state), force=True)
+            self._ckptr.wait_until_finished()
+            if tag_last:
+                with open(os.path.join(self.save_dir, LAST_CHECKPOINT_FILE), "w") as f:
+                    f.write(name)
+        comm.synchronize(f"ckpt_save_{name}")
         return path
 
     # -- load --------------------------------------------------------------

@@ -25,6 +25,10 @@ class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # device-side consecutive non-finite-step counter: exact regardless of
+    # how often the host samples metrics (VERDICT r1: the host-side counter
+    # only saw every 10th step, so a NaN storm could run ~200 steps)
+    skips: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def create_train_state(model, tx, rng, sample_batch) -> TrainState:
@@ -38,6 +42,7 @@ def create_train_state(model, tx, rng, sample_batch) -> TrainState:
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
+        skips=jnp.zeros((), jnp.int32),
     )
 
 
@@ -66,13 +71,16 @@ def make_train_step(model, loss_computer, tx):
         finite = jnp.isfinite(total)
         select = lambda a, b: jax.tree.map(
             lambda x, y: jnp.where(finite, x, y), a, b)
+        new_skips = jnp.where(finite, 0, state.skips + 1).astype(jnp.int32)
         new_state = TrainState(
             step=state.step + 1,
             params=select(new_params, state.params),
             batch_stats=select(new_stats, state.batch_stats),
             opt_state=select(new_opt_state, state.opt_state),
+            skips=new_skips,
         )
-        metrics = {"total_loss": total, "skipped": (~finite).astype(jnp.float32), **log_dict}
+        metrics = {"total_loss": total, "skipped": (~finite).astype(jnp.float32),
+                   "consecutive_skips": new_skips.astype(jnp.float32), **log_dict}
         return new_state, metrics
 
     return train_step
