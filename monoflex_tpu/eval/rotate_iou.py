@@ -19,13 +19,21 @@ import numpy as np
 
 
 def box_corners(boxes: np.ndarray) -> np.ndarray:
-    """(N, 5) -> (N, 4, 2) corner coordinates (CCW)."""
+    """(N, 5) -> (N, 4, 2) corner coordinates.
+
+    The angle rotates CLOCKWISE in the (x, y) plane: KITTI's ry is a rotation
+    about the camera y-axis, which acts on the BEV (x, z) plane as
+    x' = x cos + z sin, z' = -x sin + z cos (reference
+    kitti_object_eval_python/rotate_iou.py:210-234 rbbox_to_corners).  With
+    offset centers and differing angles the opposite convention yields a
+    genuinely different overlap, not a mirror image (round-2 parity harness
+    caught exactly that)."""
     cx, cy, w, h, ang = boxes.T
     c, s = np.cos(ang), np.sin(ang)
     dx = np.stack([-w / 2, w / 2, w / 2, -w / 2], axis=1)
     dy = np.stack([-h / 2, -h / 2, h / 2, h / 2], axis=1)
-    x = cx[:, None] + c[:, None] * dx - s[:, None] * dy
-    y = cy[:, None] + s[:, None] * dx + c[:, None] * dy
+    x = cx[:, None] + c[:, None] * dx + s[:, None] * dy
+    y = cy[:, None] - s[:, None] * dx + c[:, None] * dy
     return np.stack([x, y], axis=2)
 
 

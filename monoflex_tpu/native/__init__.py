@@ -21,7 +21,9 @@ _tried = False
 
 
 def build_native(force: bool = False) -> Optional[str]:
-    if os.path.exists(_LIB) and not force:
+    fresh = (os.path.exists(_LIB)
+             and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC))
+    if fresh and not force:
         return _LIB
     try:
         subprocess.run(

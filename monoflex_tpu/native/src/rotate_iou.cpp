@@ -29,8 +29,11 @@ void box_corners(const double* b, Pt out[4]) {
   const double dx[4] = {-w / 2, w / 2, w / 2, -w / 2};
   const double dy[4] = {-h / 2, -h / 2, h / 2, h / 2};
   for (int i = 0; i < 4; ++i) {
-    out[i].x = cx + c * dx[i] - s * dy[i];
-    out[i].y = cy + s * dx[i] + c * dy[i];
+    // KITTI ry rotates about the camera y-axis: CLOCKWISE in the BEV (x, z)
+    // plane (x' = x cos + z sin, z' = -x sin + z cos) — must match
+    // eval/rotate_iou.py::box_corners and the reference rbbox_to_corners.
+    out[i].x = cx + c * dx[i] + s * dy[i];
+    out[i].y = cy - s * dx[i] + c * dy[i];
   }
 }
 
