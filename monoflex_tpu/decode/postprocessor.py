@@ -102,7 +102,7 @@ class PostProcessor:
             kpts = poi[:, k2c("corner_offset")].reshape(N, 10, 2)
             kpt_depths = GJ.decode_depth_from_keypoints(kpts, dims, calib_params,
                                                         self.down_ratio, self.depth_range)
-            extras["keypoints"] = kpts
+            extras["keypoints"] = kpts.reshape(B, K, 10, 2)
         if self.keypoint_depth_with_uncertainty:
             kpt_unc = jnp.exp(poi[:, k2c("corner_uncertainty")])
 
@@ -201,6 +201,10 @@ class PostProcessor:
             rotys[:, None], scores[:, None],
         ], axis=1).reshape(B, K, RESULT_DIM)
         extras["vis_scores"] = vis_scores.reshape(B, K)
+        # for the visualizer (reference visualize_infer.py keypoint overlay +
+        # heatmap panel): predicted feature-map centers and the raw heatmap
+        extras["points"] = points.reshape(B, K, 2)
+        extras["heatmap"] = predictions["cls"]
         valid = valid.reshape(B, K)
         if self.use_nms in ("2d", "3d") and self.nms_thresh > 0:
             from .nms import apply_nms

@@ -104,21 +104,33 @@ def visualize_predictions(cfg, eval_step, state, loader, output_dir: str,
     from ..utils.visualizer import show_image_with_boxes
 
     os.makedirs(output_dir, exist_ok=True)
+    gt_fields = ("reg_mask", "gt_bboxes", "dimensions", "locations", "rotys")
     count = 0
     for batch in loader:
-        result, valid, _ = eval_step(state, batch)
+        result, valid, extras = eval_step(state, batch)
         result, valid = np.asarray(result), np.asarray(valid)
+        kpts = np.asarray(extras["keypoints"]) if "keypoints" in extras else None
+        centers = np.asarray(extras["points"]) if "points" in extras else None
+        heatmap = np.asarray(extras["heatmap"]) if "heatmap" in extras else None
+        has_gt = all(k in batch for k in gt_fields)
         for i in range(result.shape[0]):
             if count >= max_images:
                 return count
             if int(batch["image_id"][i]) < 0:
                 continue
             calib = Calibration(np.asarray(batch["calib_P"][i]))
-            # de-normalize the padded image for display
             img = np.asarray(batch["image"][i])
+            targets = ({k: np.asarray(batch[k][i]) for k in gt_fields}
+                       if has_gt else None)
             show_image_with_boxes(
                 img, result[i], valid[i], calib,
                 score_threshold=cfg.TEST.VISUALIZE_THRESHOLD,
+                heatmap=heatmap[i] if heatmap is not None else None,
+                targets=targets,
+                keypoints=kpts[i] if kpts is not None else None,
+                centers=centers[i] if centers is not None else None,
+                pad_size=np.asarray(batch["pad_size"][i]),
+                down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
                 save_path=os.path.join(output_dir,
                                        f"{int(batch['image_id'][i]):06d}.png"))
             count += 1

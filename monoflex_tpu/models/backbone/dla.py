@@ -217,6 +217,9 @@ class DCN(nn.Module):
         o1, o2, mask_logits = jnp.split(om.astype(jnp.float32), 3, axis=-1)
         offset = jnp.concatenate([o1, o2], axis=-1)
         mask = nn.sigmoid(mask_logits)
+        # observability for the offset-clamp study (tools/offset_stats.py):
+        # inert unless the caller requests mutable=["intermediates"]
+        self.sow("intermediates", "offset", offset)
 
         cin = x.shape[-1]
         weight = self.param("kernel", _kaiming_uniform_dcn,

@@ -152,6 +152,9 @@ def dcn_pallas(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     out = pl.pallas_call(
         kernel,
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),

@@ -203,16 +203,12 @@ def _pad_spatial(t, guard, pad_h, wx, w, p):
     return jnp.pad(t, ((0, 0), (0, 0), (guard, guard + pad_h), (p, wx - w - p)))
 
 
-@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
-def dcn_pallas_bwd(x, offset, mask, weight, g, max_offset: int = 3,
-                   compute_dtype=None):
-    """Returns (dx, doffset, dmask, dweight, dbias); NHWC in/out."""
+def _prep(x, offset, mask, weight, g, max_offset, compute_dtype):
+    """Shared layout/padding prep for the three backward kernels."""
     B, H, W, C = x.shape
     Co = weight.shape[-1]
     R = max_offset
     P = R + 1
-    if compute_dtype is None:
-        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
     # base sublane tile only: the bwd kernels hold several halo-sized VMEM
     # buffers, so no single-tile upsizing for small maps
     tile_h = 16 if compute_dtype == jnp.bfloat16 else 8
@@ -237,15 +233,30 @@ def dcn_pallas_bwd(x, offset, mask, weight, g, max_offset: int = 3,
         mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
         gt = jnp.pad(gt, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
     w_t = jnp.transpose(weight.reshape(9, C, Co), (0, 2, 1)).astype(compute_dtype)
+    dims = dict(B=B, H=H, W=W, C=C, Co=Co, P=P, tile_h=tile_h, Hp=Hp,
+                win_h=win_h, Wx=Wx)
+    return (xt, gt, gth, off_t, mask_t, offh, maskh, w_t), dims
 
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_bwd_dx(x, offset, mask, weight, g, max_offset: int = 3,
+                      compute_dtype=None):
+    """Input gradient only (kernel 1); NHWC in/out."""
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    (xt, gt, gth, off_t, mask_t, offh, maskh, w_t), d = _prep(
+        x, offset, mask, weight, g, max_offset, compute_dtype)
+    B, H, W, C, Co = d["B"], d["H"], d["W"], d["C"], d["Co"]
+    tile_h, Hp, win_h, Wx = d["tile_h"], d["Hp"], d["win_h"], d["Wx"]
     grid = (B, Hp // tile_h)
-    n_tiles = Hp // tile_h
     common = dict(tile_h=tile_h, width=W, max_offset=max_offset,
                   compute_dtype=compute_dtype)
-
     dx = pl.pallas_call(
         functools.partial(_dx_kernel, **common),
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),                     # g halo
             pl.BlockSpec(memory_space=pltpu.ANY),                     # off halo
@@ -263,10 +274,29 @@ def dcn_pallas_bwd(x, offset, mask, weight, g, max_offset: int = 3,
             pltpu.SemaphoreType.DMA(()),
         ],
     )(gth, offh, maskh, w_t)
+    return jnp.transpose(dx[:, :, :H, :], (0, 2, 3, 1)).astype(x.dtype)
 
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_bwd_dwm(x, offset, mask, weight, g, max_offset: int = 3,
+                       compute_dtype=None):
+    """Weight + mask gradients (kernel 2); returns (dmask, dweight)."""
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    (xt, gt, gth, off_t, mask_t, offh, maskh, w_t), d = _prep(
+        x, offset, mask, weight, g, max_offset, compute_dtype)
+    B, H, W, C, Co = d["B"], d["H"], d["W"], d["C"], d["Co"]
+    tile_h, Hp, win_h, Wx = d["tile_h"], d["Hp"], d["win_h"], d["Wx"]
+    grid = (B, Hp // tile_h)
+    n_tiles = Hp // tile_h
+    common = dict(tile_h=tile_h, width=W, max_offset=max_offset,
+                  compute_dtype=compute_dtype)
     dmask, dw = pl.pallas_call(
         functools.partial(_dwm_kernel, **common),
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),                     # x halo
             pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
@@ -289,10 +319,30 @@ def dcn_pallas_bwd(x, offset, mask, weight, g, max_offset: int = 3,
             pltpu.SemaphoreType.DMA(()),
         ],
     )(xt, off_t, mask_t, gt, w_t)
+    dmask = jnp.transpose(dmask[:, :, :H, :], (0, 2, 3, 1)).astype(mask.dtype)
+    dw = jnp.sum(dw, axis=(0, 1)).reshape(3, 3, C, Co).astype(weight.dtype)
+    return dmask, dw
 
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_bwd_doff(x, offset, mask, weight, g, max_offset: int = 3,
+                        compute_dtype=None):
+    """Offset gradient (kernel 3); NHWC in/out."""
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    (xt, gt, gth, off_t, mask_t, offh, maskh, w_t), d = _prep(
+        x, offset, mask, weight, g, max_offset, compute_dtype)
+    B, H, W, C, Co = d["B"], d["H"], d["W"], d["C"], d["Co"]
+    tile_h, Hp, win_h, Wx = d["tile_h"], d["Hp"], d["win_h"], d["Wx"]
+    grid = (B, Hp // tile_h)
+    common = dict(tile_h=tile_h, width=W, max_offset=max_offset,
+                  compute_dtype=compute_dtype)
     doff = pl.pallas_call(
         functools.partial(_doff_kernel, **common),
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),                     # x halo
             pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
@@ -310,12 +360,21 @@ def dcn_pallas_bwd(x, offset, mask, weight, g, max_offset: int = 3,
             pltpu.SemaphoreType.DMA(()),
         ],
     )(xt, off_t, mask_t, gt, w_t)
+    return jnp.transpose(doff[:, :, :H, :], (0, 2, 3, 1)).astype(offset.dtype)
 
-    dx = jnp.transpose(dx[:, :, :H, :], (0, 2, 3, 1)).astype(x.dtype)
-    doff = jnp.transpose(doff[:, :, :H, :], (0, 2, 3, 1)).astype(offset.dtype)
-    dmask = jnp.transpose(dmask[:, :, :H, :], (0, 2, 3, 1)).astype(mask.dtype)
-    dw = jnp.sum(dw, axis=(0, 1))                      # (9, C, Co)
-    dw = dw.reshape(3, 3, C, Co).astype(weight.dtype)
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_bwd(x, offset, mask, weight, g, max_offset: int = 3,
+                   compute_dtype=None):
+    """Returns (dx, doffset, dmask, dweight, dbias); NHWC in/out."""
+    dx = dcn_pallas_bwd_dx(x, offset, mask, weight, g, max_offset=max_offset,
+                           compute_dtype=compute_dtype)
+    dmask, dw = dcn_pallas_bwd_dwm(x, offset, mask, weight, g,
+                                   max_offset=max_offset,
+                                   compute_dtype=compute_dtype)
+    doff = dcn_pallas_bwd_doff(x, offset, mask, weight, g,
+                               max_offset=max_offset,
+                               compute_dtype=compute_dtype)
     db = jnp.sum(g, axis=(0, 1, 2))
     return dx, doff, dmask, dw, db
 

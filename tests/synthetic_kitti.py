@@ -67,10 +67,70 @@ SCENES = {
 }
 
 
-def make_synthetic_kitti(root: str, frames=None, seed: int = 0, scale: int = 1):
-    """scale > 1 shrinks images and intrinsics by that factor (tiny fast sets)."""
+_CLASS_LOOK = {
+    # (base RGB, dims mean (h, w, l), dims jitter)
+    "Car": ((70, 90, 200), (1.55, 1.65, 3.9), 0.12),
+    "Pedestrian": ((200, 80, 70), (1.75, 0.6, 0.8), 0.08),
+    "Cyclist": ((80, 190, 90), (1.75, 0.6, 1.75), 0.08),
+    "Van": ((150, 150, 60), (2.2, 1.9, 5.0), 0.1),
+}
+
+
+def _random_scene(rng, n_obj):
+    """Random objects with class-dependent dims at plausible depths."""
+    objs = []
+    for _ in range(n_obj):
+        cls = ["Car", "Car", "Car", "Pedestrian", "Cyclist"][rng.randint(5)]
+        _, (mh, mw, ml), jit = _CLASS_LOOK[cls]
+        h = mh * float(np.exp(rng.randn() * jit))
+        w = mw * float(np.exp(rng.randn() * jit))
+        l = ml * float(np.exp(rng.randn() * jit))
+        z = float(rng.uniform(8.0, 45.0))
+        x = float(rng.uniform(-0.55, 0.55) * z * 0.55)
+        y = float(rng.uniform(1.4, 1.9))
+        ry = float(rng.uniform(-math.pi, math.pi))
+        objs.append((cls, 0.0, 0, h, w, l, (x, y, z), ry))
+    # sort far -> near so nearer objects paint over farther ones
+    objs.sort(key=lambda o: -o[6][2])
+    return objs
+
+
+def _render_scene(img, objs, p2, img_w, img_h, rng):
+    """Paint each object as a class-colored shaded patch inside its projected
+    2D box (enough visual signal for a conv net to learn appearance -> class,
+    center, size; depth is learnable from apparent size)."""
+    for cls, _, _, h, w, l, t, ry in objs:
+        box = project_box(p2, t, h, w, l, ry, img_w, img_h)
+        x1, y1, x2, y2 = [int(round(v)) for v in box]
+        if x2 - x1 < 2 or y2 - y1 < 2:
+            continue
+        color = np.array(_CLASS_LOOK[cls][0], dtype=np.float32)
+        # darken with depth, add a light vertical gradient + border
+        shade = np.clip(1.2 - t[2] / 60.0, 0.35, 1.0)
+        patch = np.tile(color * shade, ((y2 - y1), (x2 - x1), 1))
+        grad = np.linspace(0.85, 1.15, y2 - y1, dtype=np.float32)[:, None, None]
+        patch = np.clip(patch * grad + rng.randn(*patch.shape) * 6.0, 0, 255)
+        img[y1:y2, x1:x2] = patch.astype(np.uint8)
+        img[y1:y2, x1:min(x1 + 1, img_w)] = 255
+        img[y1:min(y1 + 1, img_h), x1:x2] = 255
+    return img
+
+
+def make_synthetic_kitti(root: str, frames=None, seed: int = 0, scale: int = 1,
+                         n_random_frames: int = 0, render: bool = False):
+    """scale > 1 shrinks images and intrinsics by that factor (tiny fast sets).
+
+    n_random_frames > 0 appends randomized frames (2-6 objects each) after the
+    3 fixed fixture frames; render=True paints class-colored patches at the
+    projected boxes so models can actually LEARN from the set (used by the
+    synthetic convergence run, tools/convergence_run.py)."""
     frames = frames or list(SCENES.keys())
     rng = np.random.RandomState(seed)
+    scenes = dict(SCENES)
+    for i in range(n_random_frames):
+        name = f"{100 + i:06d}"
+        scenes[name] = _random_scene(rng, 2 + rng.randint(5))
+        frames = list(frames) + [name]
     for sub in ["image_2", "image_3", "label_2", "calib", "ImageSets"]:
         os.makedirs(os.path.join(root, sub), exist_ok=True)
 
@@ -81,12 +141,19 @@ def make_synthetic_kitti(root: str, frames=None, seed: int = 0, scale: int = 1):
     p3[:2] /= scale
 
     for frame in frames:
-        img = (rng.rand(img_h, img_w, 3) * 255).astype(np.uint8)
+        if render:
+            # muted gray road/sky backdrop + noise
+            img = np.full((img_h, img_w, 3), 120, np.float32)
+            img[: img_h // 2] += 40.0
+            img = np.clip(img + rng.randn(img_h, img_w, 3) * 8.0, 0, 255).astype(np.uint8)
+            img = _render_scene(img, scenes.get(frame, []), p2, img_w, img_h, rng)
+        else:
+            img = (rng.rand(img_h, img_w, 3) * 255).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(root, "image_2", frame + ".png"))
         Image.fromarray(img[:, ::-1]).save(os.path.join(root, "image_3", frame + ".png"))
 
         lines = []
-        for cls, trunc, occ, h, w, l, t, ry in SCENES.get(frame, []):
+        for cls, trunc, occ, h, w, l, t, ry in scenes.get(frame, []):
             box2d = project_box(p2, t, h, w, l, ry, img_w, img_h)
             lines.append(_label_line(cls, trunc, occ, box2d, h, w, l, t, ry))
         lines.append("DontCare -1 -1 -10 100.0 150.0 120.0 180.0 -1 -1 -1 -1000 -1000 -1000 -10")
@@ -101,7 +168,15 @@ def make_synthetic_kitti(root: str, frames=None, seed: int = 0, scale: int = 1):
             f.write(f"R0_rect: {fmt(R0)}\nTr_velo_to_cam: {fmt(V2C)}\n")
             f.write(f"Tr_imu_to_velo: {fmt(V2C)}\n")
 
-    for split in ["train", "val", "trainval", "test"]:
+    if n_random_frames > 0:
+        # held-out val split: last 20% of the random frames (the 3 fixed
+        # fixture frames always train)
+        n_val = max(1, n_random_frames // 5)
+        split_map = {"train": frames[:-n_val], "val": frames[-n_val:],
+                     "trainval": frames, "test": frames[-n_val:]}
+    else:
+        split_map = {s: frames for s in ["train", "val", "trainval", "test"]}
+    for split, names in split_map.items():
         with open(os.path.join(root, "ImageSets", split + ".txt"), "w") as f:
-            f.write("\n".join(frames) + "\n")
+            f.write("\n".join(names) + "\n")
     return root
