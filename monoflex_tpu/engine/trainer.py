@@ -105,6 +105,7 @@ def do_train(cfg, model, train_step, eval_step, state, train_loader,
     best_ap = -1.0
     consecutive_skips = 0
     iteration = start_iter
+    last_log_iter = start_iter
     data_iter = iter(train_loader)
     logger.info(f"start training: {max_iter} iterations "
                 f"({steps_per_epoch} steps/epoch)")
@@ -113,6 +114,7 @@ def do_train(cfg, model, train_step, eval_step, state, train_loader,
         # (reference has only wall-clock timers, SURVEY §5.1 — this is richer)
         jax.profiler.start_trace(os.path.join(output_dir, "profile"))
     end = time.time()
+    end_window = end
 
     while iteration < max_iter:
         batch = next(data_iter)
@@ -140,7 +142,14 @@ def do_train(cfg, model, train_step, eval_step, state, train_loader,
                 checkpointer.save("model_aborted", state)
                 writer.close()
                 return state
-            batch_time = time.time() - end
+            # device_get above synchronized on the metric values, so the
+            # window since the last log point covers every dispatched step
+            # (async dispatch: intermediate iterations return futures
+            # instantly; dividing by the window length gives true s/step)
+            window = max(1, iteration - last_log_iter)
+            batch_time = (time.time() - end_window) / window
+            last_log_iter = iteration
+            end_window = time.time()
             meters.update(time=batch_time, data=data_time, **metrics)
             eta = datetime.timedelta(
                 seconds=int(meters.meters["time"].global_avg * (max_iter - iteration)))

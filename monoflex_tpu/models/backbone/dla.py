@@ -368,12 +368,17 @@ class DLASeg(nn.Module):
     dcn_impl: str = "shift"
     dcn_max_offset: int = 2
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> jnp.ndarray:
         first_level = int(math.log2(self.down_ratio))
-        feats = DLA(self.levels, self.channels, dtype=self.dtype,
-                    name="base")(x, train=train)
+        # rematerialize the trunk in backward (jax.checkpoint): its plain
+        # convs are cheap to recompute and its activations dominate HBM at
+        # the flagship 384x1280/batch-8 config (cfg.TPU.REMAT_BACKBONE)
+        trunk_cls = (nn.remat(DLA, static_argnums=(2,)) if self.remat else DLA)
+        feats = trunk_cls(self.levels, self.channels, dtype=self.dtype,
+                          name="base")(x, train)
         # neck runs in the compute dtype; the Pallas DCN kernel accumulates
         # f32 either way and picks bf16 window math when fed bf16
         feats = [f.astype(self.dtype) for f in feats]
@@ -414,4 +419,5 @@ def build_backbone(cfg) -> DLASeg:
     return DLASeg(down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
                   dcn_impl=impl,
                   dcn_max_offset=cfg.TPU.DCN_MAX_OFFSET,
-                  dtype=dtype)
+                  dtype=dtype,
+                  remat=bool(cfg.TPU.REMAT_BACKBONE))
