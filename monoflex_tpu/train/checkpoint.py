@@ -30,16 +30,21 @@ class Checkpointer:
 
     # -- save --------------------------------------------------------------
     def save(self, name: str, state: TrainState, tag_last: bool = True) -> str:
-        """Rank-gated on the main process (the reference gates every save on
-        rank 0, utils/check_point.py:25-28); on a multi-host pod only process
-        0 writes, others still synchronize on the returned path name."""
+        """Multi-host safe save.
+
+        orbax's save is itself a collective: EVERY process must call it (it
+        barriers internally and only the primary host writes replicated
+        arrays; sharded arrays write their own shards).  Rank-gating the call
+        like the reference does for torch (utils/check_point.py:25-28) makes
+        process 0 block in a barrier the other ranks never join — caught by
+        tests/test_multiprocess.py.  Only the ``last_checkpoint`` pointer
+        file is main-process-gated (it's a plain open()/write)."""
         path = os.path.join(self.save_dir, name)
-        if comm.is_main_process():
-            self._ckptr.save(path, jax.device_get(state), force=True)
-            self._ckptr.wait_until_finished()
-            if tag_last:
-                with open(os.path.join(self.save_dir, LAST_CHECKPOINT_FILE), "w") as f:
-                    f.write(name)
+        self._ckptr.save(path, jax.device_get(state), force=True)
+        self._ckptr.wait_until_finished()
+        if tag_last and comm.is_main_process():
+            with open(os.path.join(self.save_dir, LAST_CHECKPOINT_FILE), "w") as f:
+                f.write(name)
         comm.synchronize(f"ckpt_save_{name}")
         return path
 
