@@ -229,3 +229,54 @@ def test_grouped_batch_sampler():
         assert len(gids) == 1
     flat = sorted(i for b in batches for i in b)
     assert flat == list(range(8))
+
+
+def test_uint8_device_normalize_path(cfg, kitti_root):
+    """TPU-first host pipeline: the loader ships raw uint8 (4x smaller
+    transfer, ~10 ms/img less host work; normalization runs on-device in the
+    jitted forward — models/detector.py); pre-normalized float is still
+    supported for CPU paths (reference normalizes on host,
+    data/transforms/transforms.py:14-30)."""
+    ds = make_ds(cfg, kitti_root, is_train=True, augment=False)
+    s = ds[0]
+    assert s["image"].dtype == np.uint8
+
+    cfg2 = cfg.clone()
+    cfg2.INPUT.DEVICE_NORMALIZE = False
+    ds2 = make_ds(cfg2, kitti_root, is_train=True, augment=False)
+    s2 = ds2[0]
+    assert s2["image"].dtype == np.float32
+    # the two paths agree after on-host normalization of the uint8 image
+    mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(cfg.INPUT.PIXEL_STD, np.float32)
+    manual = (s["image"].astype(np.float32) / 255.0 - mean) / std
+    np.testing.assert_allclose(manual, s2["image"], atol=1e-5)
+
+
+def test_model_normalizes_uint8_like_float(cfg, kitti_root):
+    """model(uint8 image) == model(pre-normalized float image)."""
+    import jax
+    import jax.numpy as jnp
+
+    from monoflex_tpu.models.detector import build_model
+
+    import tempfile
+
+    cfg = cfg.clone()
+    cfg.INPUT.HEIGHT_TRAIN = 96
+    cfg.INPUT.WIDTH_TRAIN = 320
+    small_root = make_synthetic_kitti(tempfile.mkdtemp(prefix="kitti_s4"), scale=4)
+    ds = make_ds(cfg, small_root, is_train=True, augment=False)
+    s = collate([ds[0]])
+    img_u8 = jnp.asarray(s["image"])
+    mean = np.asarray(cfg.INPUT.PIXEL_MEAN, np.float32)
+    std = np.asarray(cfg.INPUT.PIXEL_STD, np.float32)
+    img_f32 = jnp.asarray((np.asarray(s["image"], np.float32) / 255.0 - mean) / std)
+
+    model = build_model(cfg)
+    ei, el = jnp.asarray(s["edge_indices"]), jnp.asarray(s["edge_len"])
+    variables = model.init(jax.random.PRNGKey(0), img_u8, ei, el, train=False)
+    out_u8 = model.apply(variables, img_u8, ei, el, train=False)
+    out_f32 = model.apply(variables, img_f32, ei, el, train=False)
+    np.testing.assert_allclose(np.asarray(out_u8["cls"]),
+                               np.asarray(out_f32["cls"]), atol=1e-5)
