@@ -97,6 +97,15 @@ class CfgNode(dict):
                     value = yaml.safe_load(value)
                 except yaml.YAMLError:
                     pass
+            if isinstance(value, str):
+                # yacs-compatible: "(2400, 2900)"-style python literals on
+                # the command line (YAML can't parse tuples)
+                import ast
+
+                try:
+                    value = ast.literal_eval(value)
+                except (ValueError, SyntaxError):
+                    pass
             node[leaf] = _coerce(value, node[leaf], key)
 
     def dump(self) -> str:

@@ -38,11 +38,25 @@ def main():
     impl = os.environ.get("BENCH_DCN_IMPL")
     if impl == "shift":
         cfg.TPU.USE_PALLAS_DCN = False
+    elif impl == "none":
+        # plain-conv neck: isolates whether a compile failure comes from the
+        # Pallas kernels or from the rest of the training program
+        cfg.MODEL.BACKBONE.CONV_BODY = "dla34_nodcn"
+    if os.environ.get("BENCH_REMAT"):
+        cfg.TPU.REMAT_BACKBONE = True
+    if os.environ.get("BENCH_DTYPE"):
+        cfg.TPU.COMPUTE_DTYPE = os.environ["BENCH_DTYPE"]
+    if os.environ.get("BENCH_INPUT"):
+        h, w = (int(v) for v in os.environ["BENCH_INPUT"].split("x"))
+        cfg.INPUT.HEIGHT_TRAIN = h
+        cfg.INPUT.WIDTH_TRAIN = w
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     model = build_model(cfg)
     loss_computer = LossComputer(cfg)
 
-    batch = {k: jnp.asarray(v) for k, v in make_dummy_batch(batch_size).items()}
+    batch = {k: jnp.asarray(v) for k, v in make_dummy_batch(
+        batch_size, input_height=cfg.INPUT.HEIGHT_TRAIN,
+        input_width=cfg.INPUT.WIDTH_TRAIN).items()}
     variables = model.init(jax.random.PRNGKey(0), batch["image"],
                            batch["edge_indices"], batch["edge_len"], train=False)
     tx, _ = build_optimizer(cfg, variables["params"])

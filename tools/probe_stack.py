@@ -56,24 +56,28 @@ def main():
                 jnp.zeros((Co,), jnp.float32),
             ))
 
-        def loss(params):
+        # data passes as ARGUMENTS: a closure would bake hundreds of MB of
+        # array constants into the lowered program (and blow the remote
+        # compile relay's request-size limit, as round-2 learned the hard way)
+        def loss(params, data):
             total = 0.0
-            for (x, off, mask, _, _), (w, b) in zip(inputs, params):
+            for (x, off, mask), (w, b) in zip(data, params):
                 y = dcn_pallas_vjp(x, off, mask, w, b, R)
                 total = total + jnp.sum(y * y)
             return total
 
         params = [(w, b) for (_, _, _, w, b) in inputs]
+        data = [(x, off, mask) for (x, off, mask, _, _) in inputs]
         grad_fn = jax.jit(jax.grad(loss))
         rec = {"n_layers": n, "variant": args.variant}
         try:
             t0 = time.perf_counter()
-            g = grad_fn(params)
+            g = grad_fn(params, data)
             jax.block_until_ready(g)
             rec["compile_s"] = round(time.perf_counter() - t0, 1)
             t0 = time.perf_counter()
             for _ in range(3):
-                g = grad_fn(params)
+                g = grad_fn(params, data)
             jax.block_until_ready(g)
             rec["ms_per_iter"] = round((time.perf_counter() - t0) / 3 * 1e3, 2)
         except Exception:  # noqa: BLE001
