@@ -73,6 +73,75 @@ class BasicBlock(nn.Module):
         return nn.relu(out + residual)
 
 
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 residual bottleneck (reference:
+    model/backbone/dlav0.py:59-97; expansion fixed at 2 by every deep-DLA
+    constructor there)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    expansion: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, train: bool = False):
+        if residual is None:
+            residual = x
+        mid = self.planes // self.expansion
+        out = ConvBnRelu(mid, kernel=1, dtype=self.dtype)(x, train=train)
+        out = ConvBnRelu(mid, stride=self.stride, dilation=self.dilation,
+                         dtype=self.dtype)(out, train=train)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False,
+                      dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                           epsilon=1e-5, dtype=self.dtype)(out)
+        return nn.relu(out + residual)
+
+
+class BottleneckX(nn.Module):
+    """ResNeXt-style grouped bottleneck (reference:
+    model/backbone/dlav0.py:100-141; cardinality 32, 64 for dla102x2)."""
+
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    cardinality: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None, train: bool = False):
+        if residual is None:
+            residual = x
+        mid = self.planes * self.cardinality // 32
+        out = ConvBnRelu(mid, kernel=1, dtype=self.dtype)(x, train=train)
+        pad = self.dilation
+        out = nn.Conv(mid, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(pad, pad), (pad, pad)],
+                      kernel_dilation=(self.dilation, self.dilation),
+                      feature_group_count=self.cardinality,
+                      use_bias=False, dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                           epsilon=1e-5, dtype=self.dtype)(out)
+        out = nn.relu(out)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False,
+                      dtype=self.dtype)(out)
+        out = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                           epsilon=1e-5, dtype=self.dtype)(out)
+        return nn.relu(out + residual)
+
+
+def _make_block(block: str, planes: int, stride: int, cardinality: int,
+                dtype) -> nn.Module:
+    if block == "basic":
+        return BasicBlock(planes, stride, dtype=dtype)
+    if block == "bottleneck":
+        return Bottleneck(planes, stride, dtype=dtype)
+    if block == "bottleneckx":
+        return BottleneckX(planes, stride, cardinality=cardinality, dtype=dtype)
+    raise ValueError(f"unknown DLA block {block!r}")
+
+
 class Root(nn.Module):
     features: int
     residual: bool = False
@@ -97,6 +166,8 @@ class Tree(nn.Module):
     level_root: bool = False
     root_dim: int = 0
     root_residual: bool = False
+    block: str = "basic"            # basic | bottleneck | bottleneckx
+    cardinality: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -120,19 +191,23 @@ class Tree(nn.Module):
             children.append(bottom)
 
         if self.levels == 1:
-            x1 = BasicBlock(self.out_channels, self.stride,
-                            dtype=self.dtype)(x, residual, train=train)
-            x2 = BasicBlock(self.out_channels, 1, dtype=self.dtype)(x1, train=train)
+            x1 = _make_block(self.block, self.out_channels, self.stride,
+                             self.cardinality, self.dtype)(x, residual,
+                                                           train=train)
+            x2 = _make_block(self.block, self.out_channels, 1,
+                             self.cardinality, self.dtype)(x1, train=train)
             return Root(self.out_channels, self.root_residual,
                         dtype=self.dtype)([x2, x1] + children, train=train)
 
         x1 = Tree(self.levels - 1, self.in_channels, self.out_channels,
                   self.stride, root_residual=self.root_residual,
+                  block=self.block, cardinality=self.cardinality,
                   dtype=self.dtype)(x, residual, train=train)
         children.append(x1)
         return Tree(self.levels - 1, self.out_channels, self.out_channels,
                     root_dim=root_dim + self.out_channels,
                     root_residual=self.root_residual,
+                    block=self.block, cardinality=self.cardinality,
                     dtype=self.dtype)(x1, children=children, train=train)
 
 
@@ -140,6 +215,8 @@ class DLA(nn.Module):
     levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
     channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
     residual_root: bool = False
+    block: str = "basic"
+    cardinality: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -164,18 +241,13 @@ class DLA(nn.Module):
                            dtype=self.dtype)(y, train=train)
         outputs.append(y)
         # levels 2-5: aggregation trees
-        y = Tree(self.levels[2], ch[1], ch[2], 2, level_root=False,
-                 root_residual=self.residual_root, dtype=self.dtype)(y, train=train)
-        outputs.append(y)
-        y = Tree(self.levels[3], ch[2], ch[3], 2, level_root=True,
-                 root_residual=self.residual_root, dtype=self.dtype)(y, train=train)
-        outputs.append(y)
-        y = Tree(self.levels[4], ch[3], ch[4], 2, level_root=True,
-                 root_residual=self.residual_root, dtype=self.dtype)(y, train=train)
-        outputs.append(y)
-        y = Tree(self.levels[5], ch[4], ch[5], 2, level_root=True,
-                 root_residual=self.residual_root, dtype=self.dtype)(y, train=train)
-        outputs.append(y)
+        for lv in range(2, 6):
+            y = Tree(self.levels[lv], ch[lv - 1], ch[lv], 2,
+                     level_root=(lv != 2),
+                     root_residual=self.residual_root, block=self.block,
+                     cardinality=self.cardinality,
+                     dtype=self.dtype)(y, train=train)
+            outputs.append(y)
         return outputs
 
 
@@ -406,16 +478,24 @@ def default_dcn_impl(use_pallas: bool = True) -> str:
     return "gather"
 
 
-def build_backbone(cfg) -> DLASeg:
+def build_backbone(cfg):
     body = cfg.MODEL.BACKBONE.CONV_BODY
+    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    if body == "dlav0" or body.startswith("dlav0_"):
+        # the reference's vanilla (no-DCN) family, dla34 ... dla169
+        from .dlav0 import DLAV0Seg
+
+        base = body[len("dlav0_"):] if body.startswith("dlav0_") else "dla34"
+        return DLAV0Seg(base_name=base,
+                        down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
+                        dtype=dtype)
     if body == "dla34":
         impl = default_dcn_impl(cfg.TPU.USE_PALLAS_DCN)
-    elif body in ("dla34_nodcn", "dlav0"):
-        # plain-conv aggregation (the reference's dlav0 family)
+    elif body == "dla34_nodcn":
+        # DCN-neck topology with plain 3x3 convs in place of every DCN
         impl = "none"
     else:
         raise NotImplementedError(body)
-    dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     return DLASeg(down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
                   dcn_impl=impl,
                   dcn_max_offset=cfg.TPU.DCN_MAX_OFFSET,

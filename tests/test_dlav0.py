@@ -1,0 +1,83 @@
+"""Vanilla-DLA (dlav0) backbone family: shapes, wiring, detector integration.
+
+Reference behavior being matched: model/backbone/dlav0.py — ten trunk
+constructors (:320-412) over three block types and a plain-conv DLAUp
+(:440-521) producing one stride-4 map.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monoflex_tpu.config import get_cfg_defaults
+from monoflex_tpu.models.backbone.dla import build_backbone
+from monoflex_tpu.models.backbone.dlav0 import DLAV0_FAMILY, DLAV0Seg
+
+
+def _tiny_forward(base_name, train=False):
+    model = DLAV0Seg(base_name=base_name, down_ratio=4)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    if train:
+        out, _ = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    else:
+        out = model.apply(variables, x, train=False)
+    return out, variables
+
+
+@pytest.mark.parametrize("base_name", ["dla34", "dla46_c", "dla46x_c"])
+def test_dlav0_output_shape(base_name):
+    out, _ = _tiny_forward(base_name)
+    # stride-4 map with channels[first_level] features
+    channels = DLAV0_FAMILY[base_name][1]
+    assert out.shape == (1, 8, 16, channels[2])
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dlav0_deep_trunk_bottleneck():
+    # dla60: Bottleneck blocks, levels (1,1,1,2,3,1), 128-ch stride-4 output
+    out, variables = _tiny_forward("dla60")
+    assert out.shape == (1, 8, 16, 128)
+    # deep trunks really are deeper: more parameter leaves than dla34
+    n60 = len(jax.tree_util.tree_leaves(variables["params"]))
+    n34 = len(jax.tree_util.tree_leaves(
+        _tiny_forward("dla34")[1]["params"]))
+    assert n60 > n34
+
+
+def test_dlav0_grouped_cardinality():
+    # dla102x2 uses cardinality 64 (reference: dlav0.py:392-400); the grouped
+    # 3x3 kernel's input-channel dim is mid/cardinality
+    from monoflex_tpu.models.backbone.dla import BottleneckX
+
+    block = BottleneckX(planes=128, cardinality=64)
+    x = jnp.zeros((1, 8, 8, 128), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: block.init(jax.random.PRNGKey(0), x, train=False))
+    kernels = [l.shape for l in jax.tree_util.tree_leaves(shapes["params"])
+               if len(l.shape) == 4 and l.shape[0] == 3]
+    # mid = 128 * 64 // 32 = 256; grouped HWIO kernel I = 256/64 = 4
+    assert (3, 3, 4, 256) in kernels
+
+
+def test_dlav0_family_table_complete():
+    # all ten reference constructors present (dlav0.py:320-412)
+    assert set(DLAV0_FAMILY) == {
+        "dla34", "dla46_c", "dla46x_c", "dla60x_c", "dla60", "dla60x",
+        "dla102", "dla102x", "dla102x2", "dla169"}
+
+
+def test_dlav0_batchnorm_updates():
+    out, _ = _tiny_forward("dla46_c", train=True)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_build_backbone_dlav0_wiring():
+    cfg = get_cfg_defaults()
+    cfg.MODEL.BACKBONE.CONV_BODY = "dlav0_dla46_c"
+    bb = build_backbone(cfg)
+    assert isinstance(bb, DLAV0Seg) and bb.base_name == "dla46_c"
+    cfg.MODEL.BACKBONE.CONV_BODY = "dlav0"
+    assert build_backbone(cfg).base_name == "dla34"
