@@ -1,0 +1,158 @@
+"""Pallas DCN v2: NHWC-native layout, shift-free accumulation, fat matmuls.
+
+Same math as ops/dcn_pallas.py (modulated deformable 3x3 conv via an exact
+(2R+1)^2 shift window; reference CUDA counterpart:
+model/backbone/DCNv2/src/cuda/dcn_v2_im2col_cuda.cu:125) but a second-
+generation kernel layout driven by the round-1 profile (the v1 kernel ran
+~10x off the VPU roofline; docs/DESIGN.md):
+
+v1 layout (C on sublanes, W on lanes) pays a misaligned-lane access on every
+dx shift and a misaligned-sublane access on every dy shift — ~2-3 extra VPU
+ops per term — and contracts channels with tile_h small per-row matmuls.
+
+v2 keeps the tensors in the framework's native NHWC:
+
+  x window:  (win_h, W + 2P, C)   rows on the UNTILED outer dim, C on lanes
+  - dy shifts index the outer dim: free.
+  - dx shifts are hoisted: the window is pre-expanded once per grid step
+    into 2P+1 column-aligned copies xs[j] = xv[:, j:j+W, :], so all
+    (2R+1)^2 term reads in the hot loop are fully aligned vector loads.
+  - the hat-weight maps are computed compactly (tile_h x W, W on lanes),
+    with the tap mask folded in, and broadcast along C at use.
+  - per tap, the channel contraction is ONE (tile_h*W, C) @ (C, Co) matmul
+    (the (tile_h, W, C) -> (tile_h*W, C) view is free because W is a
+    multiple of the 8-row sublane tile), accumulated in f32 on the MXU.
+  - input, offsets, mask, weights and output all keep their framework
+    layouts: the v1 wrapper's six NHWC<->NCHW transposes disappear.
+
+Mixed precision: window math and matmul inputs in compute_dtype (bf16 on a
+bf16 model), f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile_h(H: int) -> int:
+    # rows are on the untiled outer dim, so any tile_h works; 16 amortizes
+    # the 2P-row halo re-read and keeps the matmul LHS tall
+    if H <= 32:
+        return 16 * max(1, -(-H // 16))  # whole (padded) map in one tile
+    return 16
+
+
+def _dcn2_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
+                 s_ref, t_ref, acc_ref, sem, *, tile_h: int, width: int,
+                 max_offset: int, compute_dtype):
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+    win_h = xv_ref.shape[0]                    # tile_h + 2 * P
+
+    # halo window: padded rows [row0, row0 + win_h), full padded width
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(row0, win_h)], xv_ref, sem)
+    copy.start()
+    copy.wait()
+
+    # hoist every column shift out of the term loop: xs[j] is the window
+    # shifted left by j columns, so hot-loop reads are aligned
+    for j in range(2 * P + 1):
+        xs_ref[j] = xv_ref[:, j: j + width, :]
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+        # compact (tile_h, W) weight maps, W on lanes; mask folds into wy
+        oy = jnp.clip(off_ref[0, 2 * k], -R, R)
+        ox = jnp.clip(off_ref[0, 2 * k + 1], -R, R)
+        mk = mask_ref[0, k]
+
+        s_ref[...] = jnp.zeros_like(s_ref)
+        for dy in range(ky - R, ky + R + 1):
+            wy = (jnp.maximum(0.0, 1.0 - jnp.abs(oy + (ky - dy))) * mk)
+            t_ref[...] = jnp.zeros_like(t_ref)
+            for dx in range(kx - R, kx + R + 1):
+                wx = jnp.maximum(0.0, 1.0 - jnp.abs(ox + (kx - dx)))
+                rows = xs_ref[P + dx, P + dy: P + dy + tile_h, :, :]
+                t_ref[...] += rows * wx[:, :, None].astype(compute_dtype)
+            s_ref[...] += t_ref[...] * wy[:, :, None].astype(compute_dtype)
+
+        sk = s_ref[...].reshape(tile_h * width, s_ref.shape[-1])
+        acc_ref[...] += jnp.dot(sk, w_ref[k],
+                                preferred_element_type=jnp.float32)
+    out_ref[0] = acc_ref[...].reshape(out_ref.shape[1:]).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_v2(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
+                  weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+                  max_offset: int = 2, compute_dtype=None) -> jnp.ndarray:
+    """NHWC modulated deformable conv, v2 kernel.
+
+    Same contract as ops.dcn_pallas.dcn_pallas: x (B,H,W,C); offset
+    (B,H,W,18) interleaved (dy,dx); mask (B,H,W,9) post-sigmoid;
+    weight (3,3,C,Co).  Returns (B,H,W,Co) in x.dtype.
+    """
+    B, H, W, C = x.shape
+    Co = weight.shape[-1]
+    R = max_offset
+    P = R + 1
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    tile_h = _pick_tile_h(H)
+    pad_h = (-H) % tile_h
+    Hp = H + pad_h
+    win_h = tile_h + 2 * P
+
+    xt = jnp.pad(x.astype(compute_dtype),
+                 ((0, 0), (P, P + pad_h), (P, P), (0, 0)))
+    # offsets/mask transposed to (B, 18|9, Hp, W): per-tap maps come out
+    # compact (tile_h rows on sublanes, W on lanes) for cheap hat math
+    off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+    mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+    if pad_h:
+        off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+        mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+    w_t = weight.reshape(9, C, Co).astype(compute_dtype)
+
+    grid = (B, Hp // tile_h)
+    kernel = functools.partial(_dcn2_kernel, tile_h=tile_h, width=W,
+                               max_offset=max_offset,
+                               compute_dtype=compute_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((9, C, Co), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W, Co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, W + 2 * P, C), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, W, C), compute_dtype),
+            pltpu.VMEM((tile_h, W, C), compute_dtype),
+            pltpu.VMEM((tile_h, W, C), compute_dtype),
+            pltpu.VMEM((tile_h * W, Co), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(xt, off_t, mask_t, w_t)
+
+    out = out[:, :H]
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)

@@ -1,0 +1,72 @@
+"""Pallas DCN v2 kernel (NHWC-native layout) vs the XLA oracle, interpreted.
+
+Same contract as the v1 kernel (tests/test_dcn_pallas.py); the v2 kernel is
+a performance restructure (docs/DESIGN.md), so parity against
+modulated_deform_conv_shift pins that the layout change preserved the math.
+"""
+
+import jax
+import jax.experimental.pallas as pl
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import monoflex_tpu.ops.dcn_pallas_v2 as DP2
+from monoflex_tpu.ops.dcn import modulated_deform_conv_shift
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(DP2.pl, "pallas_call", patched)
+
+
+def make_inputs(seed=0, B=2, H=16, W=32, C=8, Co=8):
+    rng = np.random.RandomState(seed)
+    return (
+        jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)),
+        jnp.asarray((rng.randn(B, H, W, 18) * 1.5).astype(np.float32)),
+        jnp.asarray(rng.rand(B, H, W, 9).astype(np.float32)),
+        jnp.asarray(rng.randn(3, 3, C, Co).astype(np.float32) * 0.1),
+        jnp.asarray(rng.randn(Co).astype(np.float32)),
+    )
+
+
+@pytest.mark.parametrize("R", [1, 2, 3])
+def test_v2_forward_matches_oracle(R):
+    x, off, mask, w, b = make_inputs()
+    out = DP2.dcn_pallas_v2(x, off, mask, w, b, max_offset=R)
+    ref = modulated_deform_conv_shift(x, off, mask, w, b, max_offset=R)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_v2_non_divisible_height():
+    # H=13 pads to one 16-row tile; H=40 pads to 48 (three tiles)
+    for H in (13, 40):
+        x, off, mask, w, b = make_inputs(H=H)
+        out = DP2.dcn_pallas_v2(x, off, mask, w, b, max_offset=2)
+        ref = modulated_deform_conv_shift(x, off, mask, w, b, max_offset=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, err_msg=f"H={H}")
+
+
+def test_v2_rect_channels():
+    x, off, mask, w, b = make_inputs(C=16, Co=8)
+    out = DP2.dcn_pallas_v2(x, off, mask, w, b, max_offset=2)
+    ref = modulated_deform_conv_shift(x, off, mask, w, b, max_offset=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_v2_bf16_window_close_to_f32():
+    x, off, mask, w, b = make_inputs(seed=3)
+    out_bf = DP2.dcn_pallas_v2(x, off, mask, w, b, max_offset=2,
+                               compute_dtype=jnp.bfloat16)
+    ref = modulated_deform_conv_shift(x, off, mask, w, b, max_offset=2)
+    # bf16 has ~3 decimal digits; window sums of ~9*25 terms stay within ~2%
+    np.testing.assert_allclose(np.asarray(out_bf), np.asarray(ref),
+                               rtol=0.05, atol=0.05)
