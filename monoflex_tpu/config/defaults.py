@@ -223,6 +223,7 @@ _C.TPU.MESH_AXES = ["data"]
 _C.TPU.COMPUTE_DTYPE = "float32"  # "bfloat16" for MXU-friendly mixed precision
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.USE_PALLAS_DCN = True      # Pallas deform-conv kernel vs pure-XLA gather
+_C.TPU.DCN_KERNEL_VERSION = 1     # 1 = channels-on-sublanes, 2 = NHWC-native
 _C.TPU.DCN_MAX_OFFSET = 2         # learned-offset clamp for the shift/Pallas DCN
 _C.TPU.REMAT_BACKBONE = False     # jax.checkpoint on backbone stages
 _C.TPU.DONATE_STATE = True

@@ -298,6 +298,11 @@ class DCN(nn.Module):
                             (self.kernel, self.kernel, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         simple_geom = (self.stride == 1 and self.dilation == 1 and self.kernel == 3)
+        if self.impl == "pallas2" and simple_geom:
+            from ...ops.dcn_pallas_v2 import dcn_pallas_v2_vjp
+
+            return dcn_pallas_v2_vjp(x, offset, mask, weight, bias,
+                                     self.max_offset)
         if self.impl == "pallas" and simple_geom:
             from ...ops.dcn_pallas_bwd import dcn_pallas_vjp
 
@@ -470,11 +475,13 @@ class DLASeg(nn.Module):
         return y[-1]
 
 
-def default_dcn_impl(use_pallas: bool = True) -> str:
+def default_dcn_impl(use_pallas: bool = True, kernel_version: int = 1) -> str:
     """Platform-appropriate DCN implementation: the Pallas kernel on TPU, the
     exact XLA gather path elsewhere (CPU/GPU gathers are fine)."""
     if jax.default_backend() == "tpu":
-        return "pallas" if use_pallas else "shift"
+        if use_pallas:
+            return "pallas2" if kernel_version == 2 else "pallas"
+        return "shift"
     return "gather"
 
 
@@ -490,7 +497,8 @@ def build_backbone(cfg):
                         down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
                         dtype=dtype)
     if body == "dla34":
-        impl = default_dcn_impl(cfg.TPU.USE_PALLAS_DCN)
+        impl = default_dcn_impl(cfg.TPU.USE_PALLAS_DCN,
+                                cfg.TPU.DCN_KERNEL_VERSION)
     elif body == "dla34_nodcn":
         # DCN-neck topology with plain 3x3 convs in place of every DCN
         impl = "none"

@@ -156,3 +156,26 @@ def dcn_pallas_v2(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def dcn_pallas_v2_vjp(x, offset, mask, weight, bias, max_offset: int = 2):
+    """v2 forward with the split backward kernels of ops/dcn_pallas_bwd
+    (the five gradients are layout-independent: they take and return the
+    same NHWC arrays either forward produces)."""
+    return dcn_pallas_v2(x, offset, mask, weight, bias, max_offset=max_offset)
+
+
+def _fwd(x, offset, mask, weight, bias, max_offset):
+    out = dcn_pallas_v2(x, offset, mask, weight, bias, max_offset=max_offset)
+    return out, (x, offset, mask, weight)
+
+
+def _bwd(max_offset, residuals, g):
+    from .dcn_pallas_bwd import dcn_pallas_bwd
+
+    x, offset, mask, weight = residuals
+    return dcn_pallas_bwd(x, offset, mask, weight, g, max_offset=max_offset)
+
+
+dcn_pallas_v2_vjp.defvjp(_fwd, _bwd)

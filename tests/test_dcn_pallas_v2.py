@@ -11,6 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import monoflex_tpu.ops.dcn_pallas_bwd as DB
 import monoflex_tpu.ops.dcn_pallas_v2 as DP2
 from monoflex_tpu.ops.dcn import modulated_deform_conv_shift
 
@@ -24,6 +25,7 @@ def interpret_mode(monkeypatch):
         return orig(*args, **kwargs)
 
     monkeypatch.setattr(DP2.pl, "pallas_call", patched)
+    monkeypatch.setattr(DB.pl, "pallas_call", patched)
 
 
 def make_inputs(seed=0, B=2, H=16, W=32, C=8, Co=8):
@@ -60,6 +62,26 @@ def test_v2_rect_channels():
     out = DP2.dcn_pallas_v2(x, off, mask, w, b, max_offset=2)
     ref = modulated_deform_conv_shift(x, off, mask, w, b, max_offset=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_v2_vjp_gradients_match_oracle():
+    # v2 forward + the split backward kernels: all five grads vs jax.grad of
+    # the XLA oracle
+    x, off, mask, w, b = make_inputs(seed=2, B=1, H=16, W=16)
+
+    def loss_v2(*a):
+        return jnp.sum(jnp.sin(DP2.dcn_pallas_v2_vjp(*a, 2)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(modulated_deform_conv_shift(*a, max_offset=2)))
+
+    g2 = jax.grad(loss_v2, argnums=(0, 1, 2, 3, 4))(x, off, mask, w, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, off, mask, w, b)
+    for a, bb, name in zip(g2, gr, ["dx", "doff", "dmask", "dw", "db"]):
+        scale = max(1.0, float(jnp.abs(bb).max()))
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(bb) / scale,
+                                   atol=2e-3, err_msg=name)
 
 
 def test_v2_bf16_window_close_to_f32():

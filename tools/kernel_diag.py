@@ -45,14 +45,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 _GUARD = 8
 
-# the five distinct (H, W, C, Co) DCN shapes of the flagship 384x1280 model
-MODEL_SHAPES = [
-    (96, 320, 64, 64),
-    (96, 320, 128, 64),
-    (48, 160, 128, 128),
-    (48, 160, 256, 128),
-    (12, 40, 512, 256),
-]
+from kernel_bench import MODEL_SHAPES  # noqa: E402  (the 8 flagship shapes)
 
 
 def _kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, s_ref,

@@ -88,9 +88,14 @@ def main():
             b = jnp.zeros((C,), jnp.float32)
             g = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
 
+            from monoflex_tpu.ops.dcn_pallas_v2 import dcn_pallas_v2
+
             fns = {
                 "fwd": lambda x: dcn_pallas(x, off, mask, w, b, max_offset=R,
                                             compute_dtype=dtype).astype(dtype),
+                "fwd2": lambda x: dcn_pallas_v2(x, off, mask, w, b,
+                                                max_offset=R,
+                                                compute_dtype=dtype).astype(dtype),
                 "dx": lambda x: DB.dcn_pallas_bwd_dx(
                     x, off, mask, w, g, max_offset=R,
                     compute_dtype=dtype).astype(dtype),
