@@ -225,6 +225,10 @@ _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.USE_PALLAS_DCN = True      # Pallas deform-conv kernel vs pure-XLA gather
 _C.TPU.DCN_KERNEL_VERSION = 1     # 1 = channels-on-sublanes, 2 = NHWC-native
 _C.TPU.DCN_MAX_OFFSET = 2         # learned-offset clamp for the shift/Pallas DCN
+# optional per-stage clamp (ida_0 deepest, ida_1, ida_2, final ida_up);
+# empty = uniform DCN_MAX_OFFSET.  Offset-stats (docs/DESIGN.md) motivate a
+# wider window on the coarse stages, e.g. (8, 4, 2, 2)
+_C.TPU.DCN_MAX_OFFSET_PER_STAGE = ()
 _C.TPU.REMAT_BACKBONE = False     # jax.checkpoint on backbone stages
 _C.TPU.DONATE_STATE = True
 

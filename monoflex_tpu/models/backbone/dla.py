@@ -412,7 +412,7 @@ class DLAUp(nn.Module):
     channels: Sequence[int]          # channels of the input pyramid slice
     scales: Sequence[int]
     dcn_impl: str = "shift"
-    dcn_max_offset: int = 2
+    dcn_max_offsets: Sequence[int] = (2, 2, 2)   # per ida stage, deepest first
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -424,7 +424,8 @@ class DLAUp(nn.Module):
         for i in range(len(layers) - 1):
             j = -i - 2
             ida = IDAUp(channels[j], (scales[j:] // scales[j]).tolist(),
-                        dcn_impl=self.dcn_impl, dcn_max_offset=self.dcn_max_offset,
+                        dcn_impl=self.dcn_impl,
+                        dcn_max_offset=int(self.dcn_max_offsets[i]),
                         dtype=self.dtype, name=f"ida_{i}")
             merged = ida(layers[j:], train=train)
             layers[j:] = merged
@@ -444,6 +445,11 @@ class DLASeg(nn.Module):
     channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
     dcn_impl: str = "shift"
     dcn_max_offset: int = 2
+    # optional per-stage clamp (ida_0 = deepest merge, ida_1, ida_2, final
+    # ida_up): the measured offset distributions (docs/DESIGN.md) are an
+    # order of magnitude wider on the coarse stages, whose tiny maps make a
+    # larger window nearly free
+    dcn_max_offsets: Any = None      # Optional[Tuple[int, int, int, int]]
     dtype: Any = jnp.float32
     remat: bool = False
 
@@ -460,17 +466,21 @@ class DLASeg(nn.Module):
         # f32 either way and picks bf16 window math when fed bf16
         feats = [f.astype(self.dtype) for f in feats]
 
+        n_stages = len(self.channels[first_level:])  # DLAUp stages + ida_up
+        rs = (tuple(self.dcn_max_offsets) if self.dcn_max_offsets
+              else (self.dcn_max_offset,) * n_stages)
+
         ch = list(self.channels[first_level:])
         scales = [2 ** i for i in range(len(ch))]
         pyramid = DLAUp(ch, scales, dcn_impl=self.dcn_impl,
-                        dcn_max_offset=self.dcn_max_offset, dtype=self.dtype,
+                        dcn_max_offsets=rs[:-1], dtype=self.dtype,
                         name="dla_up")(feats[first_level:], train=train)
 
         n_final = self.last_level - first_level
         y = [pyramid[i] for i in range(n_final)]
         y = IDAUp(self.channels[first_level],
                   [2 ** i for i in range(n_final)], dcn_impl=self.dcn_impl,
-                  dcn_max_offset=self.dcn_max_offset, dtype=self.dtype,
+                  dcn_max_offset=rs[-1], dtype=self.dtype,
                   name="ida_up")(y, train=train)
         return y[-1]
 
@@ -504,8 +514,10 @@ def build_backbone(cfg):
         impl = "none"
     else:
         raise NotImplementedError(body)
+    per_stage = tuple(cfg.TPU.DCN_MAX_OFFSET_PER_STAGE) or None
     return DLASeg(down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
                   dcn_impl=impl,
                   dcn_max_offset=cfg.TPU.DCN_MAX_OFFSET,
+                  dcn_max_offsets=per_stage,
                   dtype=dtype,
                   remat=bool(cfg.TPU.REMAT_BACKBONE))

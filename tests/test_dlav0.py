@@ -81,3 +81,28 @@ def test_build_backbone_dlav0_wiring():
     assert isinstance(bb, DLAV0Seg) and bb.base_name == "dla46_c"
     cfg.MODEL.BACKBONE.CONV_BODY = "dlav0"
     assert build_backbone(cfg).base_name == "dla34"
+
+
+def test_per_stage_dcn_clamp_plumbing():
+    # TPU.DCN_MAX_OFFSET_PER_STAGE reaches the DLAUp stages and final IDAUp
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monoflex_tpu.models.backbone.dla import DLASeg
+
+    model = DLASeg(dcn_impl="shift", dcn_max_offsets=(3, 2, 1, 1))
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 8, 16, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+    from monoflex_tpu.config import get_cfg_defaults
+    from monoflex_tpu.models.backbone.dla import build_backbone
+
+    cfg = get_cfg_defaults()
+    cfg.TPU.DCN_MAX_OFFSET_PER_STAGE = (8, 4, 2, 2)
+    assert build_backbone(cfg).dcn_max_offsets == (8, 4, 2, 2)
+    cfg.TPU.DCN_MAX_OFFSET_PER_STAGE = ()
+    assert build_backbone(cfg).dcn_max_offsets is None

@@ -47,8 +47,7 @@ print(f"RANK_OK {{rank}}")
 """
 
 
-def test_two_process_rank_gated_writes(tmp_path):
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def _run_workers(tmp_path, repo):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -61,7 +60,24 @@ def test_two_process_rank_gated_writes(tmp_path):
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               env=env, text=True)
              for i in range(2)]
-    outs = [p.communicate(timeout=540)[0] for p in procs]
+    return procs, [p.communicate(timeout=540)[0] for p in procs]
+
+
+def test_two_process_rank_gated_writes(tmp_path):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # gloo's TCP rendezvous can time out when the build VM's single core is
+    # saturated and one worker lags the other by minutes; that's a host
+    # scheduling artifact, not a collectives bug — retry before failing
+    for attempt in range(3):
+        procs, outs = _run_workers(tmp_path, repo)
+        if all(p.returncode == 0 for p in procs):
+            break
+        flaky = any("Gloo context initialization failed" in o
+                    or "Connect timeout" in o for o in outs)
+        if not flaky or attempt == 2:
+            break
+        for f in ("tb", "ckpt"):
+            subprocess.run(["rm", "-rf", os.path.join(str(tmp_path), f)])
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
         assert f"RANK_OK {i}" in out
