@@ -158,6 +158,130 @@ def dcn_pallas_v2(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     return out.astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# backward kernel 1, v2 layout: dx — mirrored window over source pixels
+# ---------------------------------------------------------------------------
+
+def _hat(t):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _dx2_kernel(g_hbm, offh_hbm, maskh_hbm, w_ref, dx_ref,
+                gv_ref, uv_ref, us_ref, offh_ref, maskh_ref, acc_ref, sem,
+                *, tile_h: int, width: int, max_offset: int, compute_dtype):
+    """dx[q] = sum_k sum_d hatw_{k,d}(q-d) m_k(q-d) u_k(q-d), u_k = g W_k^T.
+
+    v2 layout: NHWC halos (rows outer, C/Co on lanes), u_k formed by ONE
+    (win_h*Wp2, Co) @ (Co, cc) matmul per tap, then pre-shifted into 2P+1
+    column-aligned copies so every window term is an aligned read.  The grid
+    carries a channel-chunk dim so the deep 512-channel layer's working set
+    stays small (the v1 kernel's whole-C scratch drove the f32 train-step
+    VMEM overflow; docs/DESIGN.md)."""
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+    win_h = gv_ref.shape[0]                    # tile_h + 2 * P
+    wp2 = gv_ref.shape[1]
+
+    for src, dst in ((g_hbm, gv_ref), (offh_hbm, offh_ref),
+                     (maskh_hbm, maskh_ref)):
+        cp = pltpu.make_async_copy(src.at[b, pl.ds(row0, win_h)]
+                                   if src is g_hbm else
+                                   src.at[b, :, pl.ds(row0, win_h), :],
+                                   dst, sem)
+        cp.start()
+        cp.wait()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+        gk = gv_ref[...].reshape(win_h * wp2, gv_ref.shape[-1])
+        uv_ref[...] = jnp.dot(gk, w_ref[k],
+                              preferred_element_type=jnp.float32).reshape(
+            uv_ref.shape).astype(uv_ref.dtype)
+        for j in range(2 * P + 1):
+            us_ref[j] = uv_ref[:, j: j + width, :]
+
+        oyh = jnp.clip(offh_ref[2 * k], -R, R)          # (win_h, wp2) compact
+        oxh = jnp.clip(offh_ref[2 * k + 1], -R, R)
+        mh = maskh_ref[k]
+        for dy in range(ky - R, ky + R + 1):
+            wyh = _hat(oyh + (ky - dy))
+            rs = slice(P - dy, P - dy + tile_h)
+            for dx in range(kx - R, kx + R + 1):
+                cs = slice(P - dx, P - dx + width)
+                w_map = (wyh[rs, cs] * _hat(oxh[rs, cs] + (kx - dx))
+                         * mh[rs, cs])
+                acc_ref[...] += (us_ref[P - dx, P - dy: P - dy + tile_h]
+                                 * w_map[:, :, None].astype(compute_dtype))
+    dx_ref[0] = acc_ref[...].astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype",
+                                             "channel_chunk"))
+def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
+                         compute_dtype=None, channel_chunk=None):
+    """Gradient w.r.t. x for the v2 DCN (same contract as
+    ops.dcn_pallas_bwd.dcn_pallas_bwd_dx; x only supplies shape/dtype)."""
+    B, H, W, C = x.shape
+    Co = weight.shape[-1]
+    R = max_offset
+    P = R + 1
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    tile_h = _pick_tile_h(H)
+    pad_h = (-H) % tile_h
+    Hp = H + pad_h
+    win_h = tile_h + 2 * P
+    wp2 = W + 2 * P
+    wp2 = wp2 + (-wp2) % 8                    # free (rows, W) merge for MXU
+
+    # zero-padded halos: gradient/mask outside the map contribute nothing
+    gt = jnp.pad(g.astype(compute_dtype),
+                 ((0, 0), (P, P + pad_h), (P, wp2 - W - P), (0, 0)))
+    off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+    mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (P, P + pad_h), (P, wp2 - W - P)))
+    mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (P, P + pad_h),
+                              (P, wp2 - W - P)))
+    # W_k^T chunks along the dx channel dim C
+    w_t = jnp.transpose(weight.reshape(9, C, Co), (0, 2, 1)).astype(compute_dtype)
+
+    cc = channel_chunk or (C if C <= 256 else 256)
+    assert C % cc == 0, (C, cc)
+    grid = (B, Hp // tile_h, C // cc)
+    kernel = functools.partial(_dx2_kernel, tile_h=tile_h, width=W,
+                               max_offset=max_offset,
+                               compute_dtype=compute_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((9, Co, cc), lambda b, h, ci: (0, 0, ci)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, W, cc),
+                               lambda b, h, ci: (b, h, 0, ci)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W, C), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, wp2, Co), compute_dtype),
+            pltpu.VMEM((win_h, wp2, cc), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, W, cc), compute_dtype),
+            pltpu.VMEM((18, win_h, wp2), jnp.float32),
+            pltpu.VMEM((9, win_h, wp2), jnp.float32),
+            pltpu.VMEM((tile_h, W, cc), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(gt, off_t, mask_t, w_t)
+    return out[:, :H].astype(x.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def dcn_pallas_v2_vjp(x, offset, mask, weight, bias, max_offset: int = 2):
     """v2 forward with the split backward kernels of ops/dcn_pallas_bwd

@@ -84,6 +84,24 @@ def test_v2_vjp_gradients_match_oracle():
                                    atol=2e-3, err_msg=name)
 
 
+@pytest.mark.parametrize("chunk", [None, 4])
+def test_v2_bwd_dx_matches_oracle(chunk):
+    # standalone v2 dx kernel (incl. the channel-chunked grid) vs jax.grad
+    x, off, mask, w, b = make_inputs(seed=4, B=1, H=16, W=16)
+    g = jnp.asarray(np.random.RandomState(9).randn(1, 16, 16, 8),
+                    jnp.float32)
+
+    def loss_ref(x):
+        out = modulated_deform_conv_shift(x, off, mask, w, b, max_offset=2)
+        return jnp.sum(out * g)
+
+    dx_ref = jax.grad(loss_ref)(x)
+    dx_v2 = DP2.dcn_pallas_v2_bwd_dx(x, off, mask, w, g, max_offset=2,
+                                     channel_chunk=chunk)
+    np.testing.assert_allclose(np.asarray(dx_v2), np.asarray(dx_ref),
+                               atol=2e-3)
+
+
 def test_v2_bf16_window_close_to_f32():
     x, off, mask, w, b = make_inputs(seed=3)
     out_bf = DP2.dcn_pallas_v2(x, off, mask, w, b, max_offset=2,
