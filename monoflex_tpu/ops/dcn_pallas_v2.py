@@ -282,11 +282,248 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
     return out[:, :H].astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# backward kernel 2, v2 layout: dW + dmask (recompute S_k, contract)
+# ---------------------------------------------------------------------------
+
+def _dhat(t):
+    # d/dt max(0, 1-|t|) = -sign(t) where |t| < 1
+    return jnp.where(jnp.abs(t) < 1.0, -jnp.sign(t), 0.0)
+
+
+def _window_sample(xs_ref, oy, ox, ky, kx, R, P, tile_h, width, s_ref, t_ref,
+                   compute_dtype, dy_weight=_hat, dx_weight=_hat):
+    """Accumulate the tap's (2R+1)^2 shift window into s_ref (v2 layout);
+    dy_weight/dx_weight swap hat -> hat' for the derivative samples SY/SX."""
+    s_ref[...] = jnp.zeros_like(s_ref)
+    for dy in range(ky - R, ky + R + 1):
+        wy = dy_weight(oy + (ky - dy))
+        t_ref[...] = jnp.zeros_like(t_ref)
+        for dx in range(kx - R, kx + R + 1):
+            wx = dx_weight(ox + (kx - dx))
+            rows = xs_ref[P + dx, P + dy: P + dy + tile_h, :, :]
+            t_ref[...] += rows * wx[:, :, None].astype(compute_dtype)
+        s_ref[...] += t_ref[...] * wy[:, :, None].astype(compute_dtype)
+
+
+def _dwm2_kernel(x_hbm, off_ref, mask_ref, g_ref, wt_ref, dmask_ref, dw_ref,
+                 xv_ref, xs_ref, u_ref, s_ref, t_ref, sem,
+                 *, tile_h: int, width: int, max_offset: int, compute_dtype):
+    """dmask_k = <S_k, u_k>_C, dW_k = (S_k m_k)^T g  (v2 layout: NHWC tiles,
+    C on lanes; the channel inner product is a lane reduction and the weight
+    gradient is one A^T B matmul per tap)."""
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+
+    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(row0, xv_ref.shape[0])],
+                               xv_ref, sem)
+    cp.start()
+    cp.wait()
+    for j in range(2 * P + 1):
+        xs_ref[j] = xv_ref[:, j: j + width, :]
+
+    g2 = g_ref[0].reshape(tile_h * width, g_ref.shape[-1])
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+        u_ref[...] = jnp.dot(g2, wt_ref[k],
+                             preferred_element_type=jnp.float32).reshape(
+            u_ref.shape).astype(u_ref.dtype)
+        oy = jnp.clip(off_ref[0, 2 * k], -R, R)
+        ox = jnp.clip(off_ref[0, 2 * k + 1], -R, R)
+        _window_sample(xs_ref, oy, ox, ky, kx, R, P, tile_h, width,
+                       s_ref, t_ref, compute_dtype)
+
+        dmask_ref[0, :, :, k] = jnp.sum(
+            s_ref[...].astype(jnp.float32) * u_ref[...].astype(jnp.float32),
+            axis=-1)
+        mk = mask_ref[0, k]
+        sk = (s_ref[...] * mk[:, :, None].astype(compute_dtype)).reshape(
+            tile_h * width, s_ref.shape[-1])
+        dw_ref[0, 0, k] = jax.lax.dot_general(
+            sk, g2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_v2_bwd_dwm(x, offset, mask, weight, g, max_offset: int = 2,
+                          compute_dtype=None):
+    """Weight + mask gradients, v2 layout; returns (dmask, dweight)."""
+    args, d = _prep2(x, offset, mask, weight, g, max_offset, compute_dtype)
+    xt, off_t, mask_t, gt, w_nat, w_t = args
+    B, H, W, C, Co = d["B"], d["H"], d["W"], d["C"], d["Co"]
+    tile_h, Hp, win_h, P = d["tile_h"], d["Hp"], d["win_h"], d["P"]
+    n_tiles = Hp // tile_h
+    kernel = functools.partial(_dwm2_kernel, tile_h=tile_h, width=W,
+                               max_offset=max_offset,
+                               compute_dtype=d["compute_dtype"])
+    dmask, dw = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((9, Co, C), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_h, W, 9), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 9, C, Co), lambda b, h: (b, h, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hp, W, 9), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, 9, C, Co), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((win_h, W + 2 * P, C), d["compute_dtype"]),
+            pltpu.VMEM((2 * P + 1, win_h, W, C), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, C), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, C), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, C), d["compute_dtype"]),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(xt, off_t, mask_t, gt, w_t)
+    dmask = dmask[:, :H].astype(mask.dtype)
+    dw = jnp.sum(dw, axis=(0, 1)).reshape(3, 3, C, Co).astype(weight.dtype)
+    return dmask, dw
+
+
+# ---------------------------------------------------------------------------
+# backward kernel 3, v2 layout: doffset — derivative samples SY/SX
+# ---------------------------------------------------------------------------
+
+def _doff2_kernel(x_hbm, off_ref, mask_ref, g_ref, wt_ref, doff_ref,
+                  xv_ref, xs_ref, u_ref, s_ref, t_ref, sem,
+                  *, tile_h: int, width: int, max_offset: int, compute_dtype):
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+
+    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(row0, xv_ref.shape[0])],
+                               xv_ref, sem)
+    cp.start()
+    cp.wait()
+    for j in range(2 * P + 1):
+        xs_ref[j] = xv_ref[:, j: j + width, :]
+
+    g2 = g_ref[0].reshape(tile_h * width, g_ref.shape[-1])
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+        u_ref[...] = jnp.dot(g2, wt_ref[k],
+                             preferred_element_type=jnp.float32).reshape(
+            u_ref.shape).astype(u_ref.dtype)
+        oy_raw = off_ref[0, 2 * k]
+        ox_raw = off_ref[0, 2 * k + 1]
+        oy = jnp.clip(oy_raw, -R, R)
+        ox = jnp.clip(ox_raw, -R, R)
+        mk = mask_ref[0, k]
+        u32 = u_ref[...].astype(jnp.float32)
+
+        # SY: hat'_y hat_x;   SX: hat_y hat'_x
+        _window_sample(xs_ref, oy, ox, ky, kx, R, P, tile_h, width,
+                       s_ref, t_ref, compute_dtype, dy_weight=_dhat)
+        doff_ref[0, :, :, 2 * k] = (jnp.sum(
+            s_ref[...].astype(jnp.float32) * u32, axis=-1)
+            * mk * (jnp.abs(oy_raw) <= R).astype(jnp.float32))
+        _window_sample(xs_ref, oy, ox, ky, kx, R, P, tile_h, width,
+                       s_ref, t_ref, compute_dtype, dx_weight=_dhat)
+        doff_ref[0, :, :, 2 * k + 1] = (jnp.sum(
+            s_ref[...].astype(jnp.float32) * u32, axis=-1)
+            * mk * (jnp.abs(ox_raw) <= R).astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_v2_bwd_doff(x, offset, mask, weight, g, max_offset: int = 2,
+                           compute_dtype=None):
+    """Offset gradient, v2 layout; NHWC in/out."""
+    args, d = _prep2(x, offset, mask, weight, g, max_offset, compute_dtype)
+    xt, off_t, mask_t, gt, w_nat, w_t = args
+    B, H, W, C, Co = d["B"], d["H"], d["W"], d["C"], d["Co"]
+    tile_h, Hp, win_h, P = d["tile_h"], d["Hp"], d["win_h"], d["P"]
+    kernel = functools.partial(_doff2_kernel, tile_h=tile_h, width=W,
+                               max_offset=max_offset,
+                               compute_dtype=d["compute_dtype"])
+    doff = pl.pallas_call(
+        kernel,
+        grid=(B, Hp // tile_h),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((9, Co, C), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, W, 18), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W, 18), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, W + 2 * P, C), d["compute_dtype"]),
+            pltpu.VMEM((2 * P + 1, win_h, W, C), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, C), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, C), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, C), d["compute_dtype"]),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(xt, off_t, mask_t, gt, w_t)
+    return doff[:, :H].astype(offset.dtype)
+
+
+def _prep2(x, offset, mask, weight, g, max_offset, compute_dtype):
+    """Shared operand prep for the v2 dwm/doff kernels (NHWC halos for x,
+    compact transposed offset/mask, NHWC g tiles, both weight forms)."""
+    B, H, W, C = x.shape
+    Co = weight.shape[-1]
+    P = max_offset + 1
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    tile_h = _pick_tile_h(H)
+    pad_h = (-H) % tile_h
+    Hp = H + pad_h
+    win_h = tile_h + 2 * P
+
+    xt = jnp.pad(x.astype(compute_dtype),
+                 ((0, 0), (P, P + pad_h), (P, P), (0, 0)))
+    off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+    mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+    gt = g.astype(compute_dtype)
+    if pad_h:
+        off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+        mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+        gt = jnp.pad(gt, ((0, 0), (0, pad_h), (0, 0), (0, 0)))
+    w_nat = weight.reshape(9, C, Co).astype(compute_dtype)
+    w_t = jnp.transpose(w_nat, (0, 2, 1))
+    d = dict(B=B, H=H, W=W, C=C, Co=Co, tile_h=tile_h, Hp=Hp, win_h=win_h,
+             P=P, compute_dtype=compute_dtype)
+    return (xt, off_t, mask_t, gt, w_nat, w_t), d
+
+
+def dcn_pallas_v2_bwd(x, offset, mask, weight, g, max_offset: int = 2,
+                      compute_dtype=None):
+    """All five gradients via the three v2 kernels."""
+    dx = dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g,
+                              max_offset=max_offset,
+                              compute_dtype=compute_dtype)
+    dmask, dw = dcn_pallas_v2_bwd_dwm(x, offset, mask, weight, g,
+                                      max_offset=max_offset,
+                                      compute_dtype=compute_dtype)
+    doff = dcn_pallas_v2_bwd_doff(x, offset, mask, weight, g,
+                                  max_offset=max_offset,
+                                  compute_dtype=compute_dtype)
+    db = jnp.sum(g, axis=(0, 1, 2))
+    return dx, doff, dmask, dw, db
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def dcn_pallas_v2_vjp(x, offset, mask, weight, bias, max_offset: int = 2):
-    """v2 forward with the split backward kernels of ops/dcn_pallas_bwd
-    (the five gradients are layout-independent: they take and return the
-    same NHWC arrays either forward produces)."""
+    """v2 forward + v2 split backward kernels."""
     return dcn_pallas_v2(x, offset, mask, weight, bias, max_offset=max_offset)
 
 
@@ -296,10 +533,9 @@ def _fwd(x, offset, mask, weight, bias, max_offset):
 
 
 def _bwd(max_offset, residuals, g):
-    from .dcn_pallas_bwd import dcn_pallas_bwd
-
     x, offset, mask, weight = residuals
-    return dcn_pallas_bwd(x, offset, mask, weight, g, max_offset=max_offset)
+    return dcn_pallas_v2_bwd(x, offset, mask, weight, g,
+                             max_offset=max_offset)
 
 
 dcn_pallas_v2_vjp.defvjp(_fwd, _bwd)
