@@ -42,6 +42,10 @@ def main():
     elif impl == "gather":
         cfg.TPU.USE_PALLAS_DCN = False
         cfg.MODEL.BACKBONE.CONV_BODY = "dla34"  # gather picked on non-TPU only
+    if os.environ.get("BENCH_KERNEL_VERSION"):
+        cfg.TPU.DCN_KERNEL_VERSION = int(os.environ["BENCH_KERNEL_VERSION"])
+    if os.environ.get("BENCH_DTYPE"):
+        cfg.TPU.COMPUTE_DTYPE = os.environ["BENCH_DTYPE"]
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     model = build_model(cfg)
