@@ -204,6 +204,10 @@ _C.TEST.IMS_PER_BATCH = 1
 _C.TEST.PRED_2D = True
 _C.TEST.UNCERTAINTY_AS_CONFIDENCE = False
 _C.TEST.METRIC = ["R40"]
+# divides the KITTI difficulty min-height gates (40/25/25 px): required on
+# reduced-resolution fixtures (synthetic KITTI at scale s -> set to s), else
+# every GT box falls below MIN_HEIGHT and AP is 0 by construction
+_C.TEST.AP_DIFFICULTY_SCALE = 1.0
 _C.TEST.EVAL_DIS_IOUS = False
 _C.TEST.EVAL_DEPTH = False
 _C.TEST.EVAL_DEPTH_METHODS = []

@@ -46,7 +46,10 @@ class KITTIDataset:
         self.num_samples = len(self.image_files)
         self.use_right_img = bool(cfg.DATASETS.USE_RIGHT_IMAGE) and is_train
 
-        self.spec = EncoderSpec.from_cfg(cfg)
+        # the test split sizes to INPUT.*_TEST (reference: data/datasets/
+        # kitti.py reads the split-specific input size); using the train
+        # resolution here silently mis-sizes --eval at a different test res
+        self.spec = EncoderSpec.from_cfg(cfg, is_train=is_train)
         self.pixel_mean = np.asarray(cfg.INPUT.PIXEL_MEAN, dtype=np.float32)
         self.pixel_std = np.asarray(cfg.INPUT.PIXEL_STD, dtype=np.float32)
         self.to_bgr = bool(cfg.INPUT.TO_BGR)

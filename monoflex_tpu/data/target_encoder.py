@@ -55,11 +55,11 @@ class EncoderSpec:
         return (self.output_width + self.output_height) * 2
 
     @classmethod
-    def from_cfg(cls, cfg) -> "EncoderSpec":
+    def from_cfg(cls, cfg, is_train: bool = True) -> "EncoderSpec":
         return cls(
             num_classes=len(cfg.DATASETS.DETECT_CLASSES),
-            input_width=cfg.INPUT.WIDTH_TRAIN,
-            input_height=cfg.INPUT.HEIGHT_TRAIN,
+            input_width=cfg.INPUT.WIDTH_TRAIN if is_train else cfg.INPUT.WIDTH_TEST,
+            input_height=cfg.INPUT.HEIGHT_TRAIN if is_train else cfg.INPUT.HEIGHT_TEST,
             down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
             max_objs=cfg.DATASETS.MAX_OBJECTS,
             orientation_bins=cfg.INPUT.ORIENTATION_BIN_SIZE,

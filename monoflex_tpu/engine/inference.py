@@ -172,7 +172,9 @@ def inference(cfg, eval_step, state, dataset, output_dir: str,
     results = {}
     for metric in metrics:
         text, ret = evaluate_python(label_dir, pred_dir, split_file,
-                                    cfg.DATASETS.DETECT_CLASSES, metric=metric)
+                                    cfg.DATASETS.DETECT_CLASSES, metric=metric,
+                                    difficulty_scale=float(
+                                        cfg.TEST.AP_DIFFICULTY_SCALE))
         logger.info(f"metric = {metric}\n{text}")
         results.update(ret)
     results.update(stats)

@@ -45,7 +45,12 @@ def get_thresholds(scores: np.ndarray, num_gt: int,
     return np.array(thresholds)
 
 
-def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int):
+def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int,
+               difficulty_scale: float = 1.0):
+    # difficulty_scale divides the pixel min-height gates: reduced-resolution
+    # fixtures (tests/synthetic_kitti.py scale=4) otherwise have EVERY ground
+    # truth below MIN_HEIGHT and AP degenerates to 0 by construction
+    min_height = [h / difficulty_scale for h in MIN_HEIGHT]
     current_cls_name = CLASS_NAMES[current_class]
     dc_bboxes, ignored_gt, ignored_dt = [], [], []
     num_valid_gt = 0
@@ -62,7 +67,7 @@ def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int):
             valid_class = -1
         ignore = (gt_anno["occluded"][i] > MAX_OCCLUSION[difficulty]
                   or gt_anno["truncated"][i] > MAX_TRUNCATION[difficulty]
-                  or height <= MIN_HEIGHT[difficulty])
+                  or height <= min_height[difficulty])
         if valid_class == 1 and not ignore:
             ignored_gt.append(0)
             num_valid_gt += 1
@@ -75,7 +80,7 @@ def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int):
     for i in range(len(dt_anno["name"])):
         valid_class = 1 if dt_anno["name"][i].lower() == current_cls_name else -1
         height = abs(dt_anno["bbox"][i, 3] - dt_anno["bbox"][i, 1])
-        if height < MIN_HEIGHT[difficulty]:
+        if height < min_height[difficulty]:
             ignored_dt.append(1)
         elif valid_class == 1:
             ignored_dt.append(0)
@@ -193,13 +198,14 @@ def calculate_iou(dt_annos, gt_annos, metric) -> List[np.ndarray]:
     return overlaps
 
 
-def _prepare_data(gt_annos, dt_annos, current_class, difficulty):
+def _prepare_data(gt_annos, dt_annos, current_class, difficulty,
+                  difficulty_scale=1.0):
     gt_datas_list, dt_datas_list = [], []
     ignored_gts, ignored_dets, dontcares = [], [], []
     total_num_valid_gt = 0
     for gt, dt in zip(gt_annos, dt_annos):
         num_valid_gt, ignored_gt, ignored_det, dc_bboxes = clean_data(
-            gt, dt, current_class, difficulty)
+            gt, dt, current_class, difficulty, difficulty_scale)
         ignored_gts.append(np.array(ignored_gt, dtype=np.int64))
         ignored_dets.append(np.array(ignored_det, dtype=np.int64))
         dontcares.append(np.asarray(dc_bboxes, dtype=np.float64).reshape(-1, 4))
@@ -212,7 +218,8 @@ def _prepare_data(gt_annos, dt_annos, current_class, difficulty):
 
 
 def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
-               min_overlaps, compute_aos=False) -> Dict[str, np.ndarray]:
+               min_overlaps, compute_aos=False,
+               difficulty_scale=1.0) -> Dict[str, np.ndarray]:
     assert len(gt_annos) == len(dt_annos)
     overlaps = calculate_iou(dt_annos, gt_annos, metric)
 
@@ -227,7 +234,7 @@ def eval_class(gt_annos, dt_annos, current_classes, difficultys, metric,
         for li, difficulty in enumerate(difficultys):
             (gt_datas_list, dt_datas_list, ignored_gts, ignored_dets, dontcares,
              total_num_valid_gt) = _prepare_data(gt_annos, dt_annos, current_class,
-                                                 difficulty)
+                                                 difficulty, difficulty_scale)
             for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
                 thresholdss = []
                 for i in range(len(gt_annos)):
@@ -292,17 +299,20 @@ def get_mAP_R40(prec: np.ndarray) -> np.ndarray:
 
 
 def do_eval(gt_annos, dt_annos, current_classes, min_overlaps,
-            compute_aos=False, metric="R40"):
+            compute_aos=False, metric="R40", difficulty_scale=1.0):
     difficultys = [0, 1, 2]
     get_map = get_mAP_R40 if metric == "R40" else get_mAP_R11
 
     ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 0,
-                     min_overlaps, compute_aos)
+                     min_overlaps, compute_aos,
+                     difficulty_scale=difficulty_scale)
     mAP_bbox = get_map(ret["precision"])
     mAP_aos = get_map(ret["orientation"]) if compute_aos else None
-    ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 1, min_overlaps)
+    ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 1,
+                     min_overlaps, difficulty_scale=difficulty_scale)
     mAP_bev = get_map(ret["precision"])
-    ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 2, min_overlaps)
+    ret = eval_class(gt_annos, dt_annos, current_classes, difficultys, 2,
+                     min_overlaps, difficulty_scale=difficulty_scale)
     mAP_3d = get_map(ret["precision"])
     return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
 
@@ -364,7 +374,8 @@ def get_coco_eval_result(gt_annos, dt_annos, current_classes):
 
 
 def get_official_eval_result(gt_annos, dt_annos, current_classes,
-                             metric="R40") -> Tuple[str, Dict[str, float]]:
+                             metric="R40",
+                             difficulty_scale=1.0) -> Tuple[str, Dict[str, float]]:
     overlap_0_7 = np.array([[0.7, 0.5, 0.5, 0.7, 0.5, 0.7]] * 3)
     overlap_0_5 = np.array([[0.7, 0.5, 0.5, 0.7, 0.5, 0.5],
                             [0.5, 0.25, 0.25, 0.5, 0.25, 0.5],
@@ -385,7 +396,8 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes,
             break
 
     mAPbbox, mAPbev, mAP3d, mAPaos = do_eval(
-        gt_annos, dt_annos, current_classes, min_overlaps, compute_aos, metric=metric)
+        gt_annos, dt_annos, current_classes, min_overlaps, compute_aos,
+        metric=metric, difficulty_scale=difficulty_scale)
 
     result = ""
     ret_dict: Dict[str, float] = {}

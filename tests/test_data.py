@@ -280,3 +280,16 @@ def test_model_normalizes_uint8_like_float(cfg, kitti_root):
     out_f32 = model.apply(variables, img_f32, ei, el, train=False)
     np.testing.assert_allclose(np.asarray(out_u8["cls"]),
                                np.asarray(out_f32["cls"]), atol=1e-5)
+
+
+def test_test_split_uses_test_resolution(cfg, tmp_path):
+    # regression: the eval dataset sized its images by INPUT.*_TRAIN, so
+    # --eval at a different test resolution fed the model mis-scaled inputs
+    root = make_synthetic_kitti(str(tmp_path / "kitti4"), scale=4)
+    c = cfg.clone()
+    c.INPUT.HEIGHT_TRAIN, c.INPUT.WIDTH_TRAIN = 384, 1280
+    c.INPUT.HEIGHT_TEST, c.INPUT.WIDTH_TEST = 96, 320
+    ds = make_ds(c, root, is_train=False)
+    assert ds[0]["image"].shape[:2] == (96, 320)
+    tr = make_ds(c, root, is_train=True)
+    assert tr[0]["image"].shape[:2] == (384, 1280)
