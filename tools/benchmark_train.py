@@ -44,6 +44,8 @@ def main():
         cfg.MODEL.BACKBONE.CONV_BODY = "dla34_nodcn"
     if os.environ.get("BENCH_REMAT"):
         cfg.TPU.REMAT_BACKBONE = True
+    if os.environ.get("BENCH_KERNEL_VERSION"):
+        cfg.TPU.DCN_KERNEL_VERSION = int(os.environ["BENCH_KERNEL_VERSION"])
     if os.environ.get("BENCH_DTYPE"):
         cfg.TPU.COMPUTE_DTYPE = os.environ["BENCH_DTYPE"]
     if os.environ.get("BENCH_INPUT"):
