@@ -69,7 +69,9 @@ def test_nonfinite_batch_skips_update(cfg, tiny_setup):
     loss_computer = LossComputer(cfg)
     step = jax.jit(make_train_step(model, loss_computer, tx))
     bad = dict(batch)
-    bad["image"] = batch["image"].at[0, 0, 0, 0].set(jnp.nan)
+    # images are uint8 (device-side normalization) and cannot carry a NaN;
+    # poison a float input that reaches the loss instead
+    bad["locations"] = batch["locations"].at[0, 0, 2].set(jnp.nan)
     new_state, metrics = step(state, bad)
     assert float(metrics["skipped"]) == 1.0
     # params unchanged
