@@ -228,6 +228,10 @@ _C.TPU.COMPUTE_DTYPE = "float32"  # "bfloat16" for MXU-friendly mixed precision
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.USE_PALLAS_DCN = True      # Pallas deform-conv kernel vs pure-XLA gather
 _C.TPU.DCN_KERNEL_VERSION = 1     # 1 = channels-on-sublanes, 2 = NHWC-native
+# override the platform-automatic DCN implementation choice
+# ("" = auto; shift | gather | pallas | pallas2 | none) — e.g. force the
+# clamped shift semantics on CPU for offset-clamp ablations
+_C.TPU.DCN_FORCE_IMPL = ""
 _C.TPU.DCN_MAX_OFFSET = 2         # learned-offset clamp for the shift/Pallas DCN
 # optional per-stage clamp (ida_0 deepest, ida_1, ida_2, final ida_up);
 # empty = uniform DCN_MAX_OFFSET.  Offset-stats (docs/DESIGN.md) motivate a

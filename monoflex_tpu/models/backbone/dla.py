@@ -507,8 +507,9 @@ def build_backbone(cfg):
                         down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
                         dtype=dtype)
     if body == "dla34":
-        impl = default_dcn_impl(cfg.TPU.USE_PALLAS_DCN,
-                                cfg.TPU.DCN_KERNEL_VERSION)
+        impl = (cfg.TPU.DCN_FORCE_IMPL
+                or default_dcn_impl(cfg.TPU.USE_PALLAS_DCN,
+                                    cfg.TPU.DCN_KERNEL_VERSION))
     elif body == "dla34_nodcn":
         # DCN-neck topology with plain 3x3 convs in place of every DCN
         impl = "none"
