@@ -232,6 +232,11 @@ _C.TPU.DCN_KERNEL_VERSION = 1     # 1 = channels-on-sublanes, 2 = NHWC-native
 # ("" = auto; shift | gather | pallas | pallas2 | none) — e.g. force the
 # clamped shift semantics on CPU for offset-clamp ablations
 _C.TPU.DCN_FORCE_IMPL = ""
+# optional per-stage impl (ida_0 deepest, ida_1, ida_2, ida_up); empty =
+# uniform. ("gather","pallas","pallas","pallas") serves imported unbounded
+# checkpoints: exact sampling on the tiny coarse maps, bounded kernel on the
+# expensive fine ones (ablation table in docs/DESIGN.md)
+_C.TPU.DCN_IMPL_PER_STAGE = ()
 _C.TPU.DCN_MAX_OFFSET = 2         # learned-offset clamp for the shift/Pallas DCN
 # optional per-stage clamp (ida_0 deepest, ida_1, ida_2, final ida_up);
 # empty = uniform DCN_MAX_OFFSET.  Offset-stats (docs/DESIGN.md) motivate a

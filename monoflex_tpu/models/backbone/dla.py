@@ -411,7 +411,7 @@ class DLAUp(nn.Module):
 
     channels: Sequence[int]          # channels of the input pyramid slice
     scales: Sequence[int]
-    dcn_impl: str = "shift"
+    dcn_impl: Any = "shift"          # one impl, or a per-stage tuple
     dcn_max_offsets: Sequence[int] = (2, 2, 2)   # per ida stage, deepest first
     dtype: Any = jnp.float32
 
@@ -420,11 +420,13 @@ class DLAUp(nn.Module):
         layers = list(layers)
         channels = list(self.channels)
         scales = np.array(self.scales, dtype=int)
+        impls = (list(self.dcn_impl) if isinstance(self.dcn_impl, (tuple, list))
+                 else [self.dcn_impl] * (len(layers) - 1))
         out = [layers[-1]]
         for i in range(len(layers) - 1):
             j = -i - 2
             ida = IDAUp(channels[j], (scales[j:] // scales[j]).tolist(),
-                        dcn_impl=self.dcn_impl,
+                        dcn_impl=impls[i],
                         dcn_max_offset=int(self.dcn_max_offsets[i]),
                         dtype=self.dtype, name=f"ida_{i}")
             merged = ida(layers[j:], train=train)
@@ -444,6 +446,11 @@ class DLASeg(nn.Module):
     levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
     channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
     dcn_impl: str = "shift"
+    # optional per-stage impl override (same stage order as dcn_max_offsets):
+    # e.g. ("gather", "pallas", "pallas", "pallas") runs the exact gather on
+    # the tiny coarse maps (where unbounded-trained offsets roam far) and the
+    # fast bounded kernel on the expensive fine maps
+    dcn_impls: Any = None            # Optional[Tuple[str, str, str, str]]
     dcn_max_offset: int = 2
     # optional per-stage clamp (ida_0 = deepest merge, ida_1, ida_2, final
     # ida_up): the measured offset distributions (docs/DESIGN.md) are an
@@ -469,17 +476,19 @@ class DLASeg(nn.Module):
         n_stages = len(self.channels[first_level:])  # DLAUp stages + ida_up
         rs = (tuple(self.dcn_max_offsets) if self.dcn_max_offsets
               else (self.dcn_max_offset,) * n_stages)
+        impls = (tuple(self.dcn_impls) if self.dcn_impls
+                 else (self.dcn_impl,) * n_stages)
 
         ch = list(self.channels[first_level:])
         scales = [2 ** i for i in range(len(ch))]
-        pyramid = DLAUp(ch, scales, dcn_impl=self.dcn_impl,
+        pyramid = DLAUp(ch, scales, dcn_impl=impls[:-1],
                         dcn_max_offsets=rs[:-1], dtype=self.dtype,
                         name="dla_up")(feats[first_level:], train=train)
 
         n_final = self.last_level - first_level
         y = [pyramid[i] for i in range(n_final)]
         y = IDAUp(self.channels[first_level],
-                  [2 ** i for i in range(n_final)], dcn_impl=self.dcn_impl,
+                  [2 ** i for i in range(n_final)], dcn_impl=impls[-1],
                   dcn_max_offset=rs[-1], dtype=self.dtype,
                   name="ida_up")(y, train=train)
         return y[-1]
@@ -516,8 +525,10 @@ def build_backbone(cfg):
     else:
         raise NotImplementedError(body)
     per_stage = tuple(cfg.TPU.DCN_MAX_OFFSET_PER_STAGE) or None
+    per_stage_impl = tuple(cfg.TPU.DCN_IMPL_PER_STAGE) or None
     return DLASeg(down_ratio=cfg.MODEL.BACKBONE.DOWN_RATIO,
                   dcn_impl=impl,
+                  dcn_impls=per_stage_impl,
                   dcn_max_offset=cfg.TPU.DCN_MAX_OFFSET,
                   dcn_max_offsets=per_stage,
                   dtype=dtype,

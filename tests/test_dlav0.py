@@ -106,3 +106,15 @@ def test_per_stage_dcn_clamp_plumbing():
     assert build_backbone(cfg).dcn_max_offsets == (8, 4, 2, 2)
     cfg.TPU.DCN_MAX_OFFSET_PER_STAGE = ()
     assert build_backbone(cfg).dcn_max_offsets is None
+
+
+def test_per_stage_dcn_impl_plumbing():
+    from monoflex_tpu.config import get_cfg_defaults
+    from monoflex_tpu.models.backbone.dla import build_backbone
+
+    cfg = get_cfg_defaults()
+    cfg.TPU.DCN_IMPL_PER_STAGE = ("gather", "shift", "shift", "shift")
+    bb = build_backbone(cfg)
+    assert bb.dcn_impls == ("gather", "shift", "shift", "shift")
+    cfg.TPU.DCN_IMPL_PER_STAGE = ()
+    assert build_backbone(cfg).dcn_impls is None
