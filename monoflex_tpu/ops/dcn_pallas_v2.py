@@ -135,7 +135,7 @@ def dcn_pallas_v2(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((9, C, Co), lambda b, h: (0, 0, 0)),
@@ -261,9 +261,9 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((9, Co, cc), lambda b, h, ci: (0, 0, ci)),
         ],
         out_specs=pl.BlockSpec((1, tile_h, W, cc),
@@ -365,7 +365,7 @@ def dcn_pallas_v2_bwd_dwm(x, offset, mask, weight, g, max_offset: int = 2,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
@@ -456,7 +456,7 @@ def dcn_pallas_v2_bwd_doff(x, offset, mask, weight, g, max_offset: int = 2,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),

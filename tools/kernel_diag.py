@@ -130,7 +130,7 @@ def run_variant(x, offset, mask, weight, R, variant):
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((9, Co, C), lambda b, h: (0, 0, 0)),
