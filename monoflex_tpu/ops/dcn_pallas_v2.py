@@ -112,9 +112,12 @@ def dcn_pallas_v2(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     pad_h = (-H) % tile_h
     Hp = H + pad_h
     win_h = tile_h + 2 * P
+    # the manually-DMA'd x buffer is sliced along its minor (lane) dim, which
+    # Mosaic requires 128-aligned -> zero-pad channels up to the lane tile
+    Cp = C + (-C) % 128
 
     xt = jnp.pad(x.astype(compute_dtype),
-                 ((0, 0), (P, P + pad_h), (P, P), (0, 0)))
+                 ((0, 0), (P, P + pad_h), (P, P), (0, Cp - C)))
     # offsets/mask transposed to (B, 18|9, Hp, W): per-tap maps come out
     # compact (tile_h rows on sublanes, W on lanes) for cheap hat math
     off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
@@ -122,7 +125,8 @@ def dcn_pallas_v2(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     if pad_h:
         off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
         mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
-    w_t = weight.reshape(9, C, Co).astype(compute_dtype)
+    w_t = jnp.pad(weight.reshape(9, C, Co).astype(compute_dtype),
+                  ((0, 0), (0, Cp - C), (0, 0)))
 
     grid = (B, Hp // tile_h)
     kernel = functools.partial(_dcn2_kernel, tile_h=tile_h, width=W,
@@ -138,15 +142,15 @@ def dcn_pallas_v2(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
-            pl.BlockSpec((9, C, Co), lambda b, h: (0, 0, 0)),
+            pl.BlockSpec((9, Cp, Co), lambda b, h: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, Co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win_h, W + 2 * P, C), compute_dtype),
-            pltpu.VMEM((2 * P + 1, win_h, W, C), compute_dtype),
-            pltpu.VMEM((tile_h, W, C), compute_dtype),
-            pltpu.VMEM((tile_h, W, C), compute_dtype),
+            pltpu.VMEM((win_h, W + 2 * P, Cp), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, W, Cp), compute_dtype),
+            pltpu.VMEM((tile_h, W, Cp), compute_dtype),
+            pltpu.VMEM((tile_h, W, Cp), compute_dtype),
             pltpu.VMEM((tile_h * W, Co), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -237,16 +241,19 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
     wp2 = W + 2 * P
     wp2 = wp2 + (-wp2) % 8                    # free (rows, W) merge for MXU
 
+    Cop = Co + (-Co) % 128        # minor dim of the DMA'd g: 128-aligned
     # zero-padded halos: gradient/mask outside the map contribute nothing
     gt = jnp.pad(g.astype(compute_dtype),
-                 ((0, 0), (P, P + pad_h), (P, wp2 - W - P), (0, 0)))
+                 ((0, 0), (P, P + pad_h), (P, wp2 - W - P), (0, Cop - Co)))
     off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
     mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
     off_t = jnp.pad(off_t, ((0, 0), (0, 0), (P, P + pad_h), (P, wp2 - W - P)))
     mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (P, P + pad_h),
                               (P, wp2 - W - P)))
-    # W_k^T chunks along the dx channel dim C
-    w_t = jnp.transpose(weight.reshape(9, C, Co), (0, 2, 1)).astype(compute_dtype)
+    # W_k^T chunks along the dx channel dim C (rows padded with the g lanes)
+    w_t = jnp.pad(
+        jnp.transpose(weight.reshape(9, C, Co), (0, 2, 1)).astype(compute_dtype),
+        ((0, 0), (0, Cop - Co), (0, 0)))
 
     cc = channel_chunk or (C if C <= 256 else 256)
     assert C % cc == 0, (C, cc)
@@ -264,13 +271,13 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9, Co, cc), lambda b, h, ci: (0, 0, ci)),
+            pl.BlockSpec((9, Cop, cc), lambda b, h, ci: (0, 0, ci)),
         ],
         out_specs=pl.BlockSpec((1, tile_h, W, cc),
                                lambda b, h, ci: (b, h, 0, ci)),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, C), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win_h, wp2, Co), compute_dtype),
+            pltpu.VMEM((win_h, wp2, Cop), compute_dtype),
             pltpu.VMEM((win_h, wp2, cc), compute_dtype),
             pltpu.VMEM((2 * P + 1, win_h, W, cc), compute_dtype),
             pltpu.VMEM((18, win_h, wp2), jnp.float32),
@@ -353,6 +360,7 @@ def dcn_pallas_v2_bwd_dwm(x, offset, mask, weight, g, max_offset: int = 2,
     args, d = _prep2(x, offset, mask, weight, g, max_offset, compute_dtype)
     xt, off_t, mask_t, gt, w_nat, w_t = args
     B, H, W, C, Co = d["B"], d["H"], d["W"], d["C"], d["Co"]
+    Cp = d["Cp"]
     tile_h, Hp, win_h, P = d["tile_h"], d["Hp"], d["win_h"], d["P"]
     n_tiles = Hp // tile_h
     kernel = functools.partial(_dwm2_kernel, tile_h=tile_h, width=W,
@@ -369,27 +377,27 @@ def dcn_pallas_v2_bwd_dwm(x, offset, mask, weight, g, max_offset: int = 2,
             pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((9, Co, C), lambda b, h: (0, 0, 0)),
+            pl.BlockSpec((9, Co, Cp), lambda b, h: (0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, tile_h, W, 9), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, 9, C, Co), lambda b, h: (b, h, 0, 0, 0)),
+            pl.BlockSpec((1, 1, 9, Cp, Co), lambda b, h: (b, h, 0, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Hp, W, 9), jnp.float32),
-            jax.ShapeDtypeStruct((B, n_tiles, 9, C, Co), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, 9, Cp, Co), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((win_h, W + 2 * P, C), d["compute_dtype"]),
-            pltpu.VMEM((2 * P + 1, win_h, W, C), d["compute_dtype"]),
-            pltpu.VMEM((tile_h, W, C), d["compute_dtype"]),
-            pltpu.VMEM((tile_h, W, C), d["compute_dtype"]),
-            pltpu.VMEM((tile_h, W, C), d["compute_dtype"]),
+            pltpu.VMEM((win_h, W + 2 * P, Cp), d["compute_dtype"]),
+            pltpu.VMEM((2 * P + 1, win_h, W, Cp), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
             pltpu.SemaphoreType.DMA(()),
         ],
     )(xt, off_t, mask_t, gt, w_t)
     dmask = dmask[:, :H].astype(mask.dtype)
-    dw = jnp.sum(dw, axis=(0, 1)).reshape(3, 3, C, Co).astype(weight.dtype)
+    dw = jnp.sum(dw, axis=(0, 1))[:, :C].reshape(3, 3, C, Co).astype(weight.dtype)
     return dmask, dw
 
 
@@ -445,6 +453,7 @@ def dcn_pallas_v2_bwd_doff(x, offset, mask, weight, g, max_offset: int = 2,
     args, d = _prep2(x, offset, mask, weight, g, max_offset, compute_dtype)
     xt, off_t, mask_t, gt, w_nat, w_t = args
     B, H, W, C, Co = d["B"], d["H"], d["W"], d["C"], d["Co"]
+    Cp = d["Cp"]
     tile_h, Hp, win_h, P = d["tile_h"], d["Hp"], d["win_h"], d["P"]
     kernel = functools.partial(_doff2_kernel, tile_h=tile_h, width=W,
                                max_offset=max_offset,
@@ -460,16 +469,16 @@ def dcn_pallas_v2_bwd_doff(x, offset, mask, weight, g, max_offset: int = 2,
             pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
-            pl.BlockSpec((9, Co, C), lambda b, h: (0, 0, 0)),
+            pl.BlockSpec((9, Co, Cp), lambda b, h: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, tile_h, W, 18), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, 18), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win_h, W + 2 * P, C), d["compute_dtype"]),
-            pltpu.VMEM((2 * P + 1, win_h, W, C), d["compute_dtype"]),
-            pltpu.VMEM((tile_h, W, C), d["compute_dtype"]),
-            pltpu.VMEM((tile_h, W, C), d["compute_dtype"]),
-            pltpu.VMEM((tile_h, W, C), d["compute_dtype"]),
+            pltpu.VMEM((win_h, W + 2 * P, Cp), d["compute_dtype"]),
+            pltpu.VMEM((2 * P + 1, win_h, W, Cp), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
             pltpu.SemaphoreType.DMA(()),
         ],
     )(xt, off_t, mask_t, gt, w_t)
@@ -488,9 +497,12 @@ def _prep2(x, offset, mask, weight, g, max_offset, compute_dtype):
     pad_h = (-H) % tile_h
     Hp = H + pad_h
     win_h = tile_h + 2 * P
+    # the manually-DMA'd x buffer is sliced along its minor (lane) dim, which
+    # Mosaic requires 128-aligned -> zero-pad channels up to the lane tile
+    Cp = C + (-C) % 128
 
     xt = jnp.pad(x.astype(compute_dtype),
-                 ((0, 0), (P, P + pad_h), (P, P), (0, 0)))
+                 ((0, 0), (P, P + pad_h), (P, P), (0, Cp - C)))
     off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
     mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
     gt = g.astype(compute_dtype)
@@ -499,9 +511,11 @@ def _prep2(x, offset, mask, weight, g, max_offset, compute_dtype):
         mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
         gt = jnp.pad(gt, ((0, 0), (0, pad_h), (0, 0), (0, 0)))
     w_nat = weight.reshape(9, C, Co).astype(compute_dtype)
-    w_t = jnp.transpose(w_nat, (0, 2, 1))
-    d = dict(B=B, H=H, W=W, C=C, Co=Co, tile_h=tile_h, Hp=Hp, win_h=win_h,
-             P=P, compute_dtype=compute_dtype)
+    # u = g @ W_k^T must produce Cp columns so the lane-reduce against the
+    # Cp-padded window sample lines up (padded cols are zero)
+    w_t = jnp.pad(jnp.transpose(w_nat, (0, 2, 1)), ((0, 0), (0, 0), (0, Cp - C)))
+    d = dict(B=B, H=H, W=W, C=C, Co=Co, Cp=Cp, tile_h=tile_h, Hp=Hp,
+             win_h=win_h, P=P, compute_dtype=compute_dtype)
     return (xt, off_t, mask_t, gt, w_nat, w_t), d
 
 
