@@ -112,12 +112,14 @@ def dcn_pallas_v2(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     pad_h = (-H) % tile_h
     Hp = H + pad_h
     win_h = tile_h + 2 * P
-    # the manually-DMA'd x buffer is sliced along its minor (lane) dim, which
-    # Mosaic requires 128-aligned -> zero-pad channels up to the lane tile
+    # manually-DMA'd buffers must have tile-aligned trailing dims: channels
+    # (lanes) padded to 128, the W+2P column dim (sublanes) padded to 8
     Cp = C + (-C) % 128
+    wp2f = W + 2 * P
+    wp2f = wp2f + (-wp2f) % 8
 
     xt = jnp.pad(x.astype(compute_dtype),
-                 ((0, 0), (P, P + pad_h), (P, P), (0, Cp - C)))
+                 ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, Cp - C)))
     # offsets/mask transposed to (B, 18|9, Hp, W): per-tap maps come out
     # compact (tile_h rows on sublanes, W on lanes) for cheap hat math
     off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
@@ -147,7 +149,7 @@ def dcn_pallas_v2(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
         out_specs=pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, Co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win_h, W + 2 * P, Cp), compute_dtype),
+            pltpu.VMEM((win_h, wp2f, Cp), compute_dtype),
             pltpu.VMEM((2 * P + 1, win_h, W, Cp), compute_dtype),
             pltpu.VMEM((tile_h, W, Cp), compute_dtype),
             pltpu.VMEM((tile_h, W, Cp), compute_dtype),
@@ -188,11 +190,15 @@ def _dx2_kernel(g_hbm, offh_hbm, maskh_hbm, w_ref, dx_ref,
     win_h = gv_ref.shape[0]                    # tile_h + 2 * P
     wp2 = gv_ref.shape[1]
 
+    # g rows live on the untiled outer dim (any slice length); the compact
+    # off/mask halos have rows on SUBLANES, so their slice length must be a
+    # multiple of 8 -> they carry an 8-row guard band like the v1 kernels
+    win_h8 = offh_ref.shape[1]
     for src, dst in ((g_hbm, gv_ref), (offh_hbm, offh_ref),
                      (maskh_hbm, maskh_ref)):
         cp = pltpu.make_async_copy(src.at[b, pl.ds(row0, win_h)]
                                    if src is g_hbm else
-                                   src.at[b, :, pl.ds(row0, win_h), :],
+                                   src.at[b, :, pl.ds(row0, win_h8), :],
                                    dst, sem)
         cp.start()
         cp.wait()
@@ -207,12 +213,12 @@ def _dx2_kernel(g_hbm, offh_hbm, maskh_hbm, w_ref, dx_ref,
         for j in range(2 * P + 1):
             us_ref[j] = uv_ref[:, j: j + width, :]
 
-        oyh = jnp.clip(offh_ref[2 * k], -R, R)          # (win_h, wp2) compact
+        oyh = jnp.clip(offh_ref[2 * k], -R, R)          # (win_h8, wp2) compact
         oxh = jnp.clip(offh_ref[2 * k + 1], -R, R)
         mh = maskh_ref[k]
         for dy in range(ky - R, ky + R + 1):
             wyh = _hat(oyh + (ky - dy))
-            rs = slice(P - dy, P - dy + tile_h)
+            rs = slice(8 - dy, 8 - dy + tile_h)
             for dx in range(kx - R, kx + R + 1):
                 cs = slice(P - dx, P - dx + width)
                 w_map = (wyh[rs, cs] * _hat(oxh[rs, cs] + (kx - dx))
@@ -247,8 +253,9 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
                  ((0, 0), (P, P + pad_h), (P, wp2 - W - P), (0, Cop - Co)))
     off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
     mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
-    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (P, P + pad_h), (P, wp2 - W - P)))
-    mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (P, P + pad_h),
+    # 8-row guard bands (rows are sublanes in the compact layout)
+    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (8, 8 + pad_h), (P, wp2 - W - P)))
+    mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (8, 8 + pad_h),
                               (P, wp2 - W - P)))
     # W_k^T chunks along the dx channel dim C (rows padded with the g lanes)
     w_t = jnp.pad(
@@ -280,8 +287,8 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
             pltpu.VMEM((win_h, wp2, Cop), compute_dtype),
             pltpu.VMEM((win_h, wp2, cc), compute_dtype),
             pltpu.VMEM((2 * P + 1, win_h, W, cc), compute_dtype),
-            pltpu.VMEM((18, win_h, wp2), jnp.float32),
-            pltpu.VMEM((9, win_h, wp2), jnp.float32),
+            pltpu.VMEM((18, tile_h + 16, wp2), jnp.float32),
+            pltpu.VMEM((9, tile_h + 16, wp2), jnp.float32),
             pltpu.VMEM((tile_h, W, cc), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -388,7 +395,7 @@ def dcn_pallas_v2_bwd_dwm(x, offset, mask, weight, g, max_offset: int = 2,
             jax.ShapeDtypeStruct((B, n_tiles, 9, Cp, Co), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((win_h, W + 2 * P, Cp), d["compute_dtype"]),
+            pltpu.VMEM((win_h, d["wp2f"], Cp), d["compute_dtype"]),
             pltpu.VMEM((2 * P + 1, win_h, W, Cp), d["compute_dtype"]),
             pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
             pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
@@ -474,7 +481,7 @@ def dcn_pallas_v2_bwd_doff(x, offset, mask, weight, g, max_offset: int = 2,
         out_specs=pl.BlockSpec((1, tile_h, W, 18), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, 18), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win_h, W + 2 * P, Cp), d["compute_dtype"]),
+            pltpu.VMEM((win_h, d["wp2f"], Cp), d["compute_dtype"]),
             pltpu.VMEM((2 * P + 1, win_h, W, Cp), d["compute_dtype"]),
             pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
             pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
@@ -497,12 +504,14 @@ def _prep2(x, offset, mask, weight, g, max_offset, compute_dtype):
     pad_h = (-H) % tile_h
     Hp = H + pad_h
     win_h = tile_h + 2 * P
-    # the manually-DMA'd x buffer is sliced along its minor (lane) dim, which
-    # Mosaic requires 128-aligned -> zero-pad channels up to the lane tile
+    # manually-DMA'd buffers must have tile-aligned trailing dims: channels
+    # (lanes) padded to 128, the W+2P column dim (sublanes) padded to 8
     Cp = C + (-C) % 128
+    wp2f = W + 2 * P
+    wp2f = wp2f + (-wp2f) % 8
 
     xt = jnp.pad(x.astype(compute_dtype),
-                 ((0, 0), (P, P + pad_h), (P, P), (0, Cp - C)))
+                 ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, Cp - C)))
     off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
     mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
     gt = g.astype(compute_dtype)
@@ -514,8 +523,8 @@ def _prep2(x, offset, mask, weight, g, max_offset, compute_dtype):
     # u = g @ W_k^T must produce Cp columns so the lane-reduce against the
     # Cp-padded window sample lines up (padded cols are zero)
     w_t = jnp.pad(jnp.transpose(w_nat, (0, 2, 1)), ((0, 0), (0, 0), (0, Cp - C)))
-    d = dict(B=B, H=H, W=W, C=C, Co=Co, Cp=Cp, tile_h=tile_h, Hp=Hp,
-             win_h=win_h, P=P, compute_dtype=compute_dtype)
+    d = dict(B=B, H=H, W=W, C=C, Co=Co, Cp=Cp, wp2f=wp2f, tile_h=tile_h,
+             Hp=Hp, win_h=win_h, P=P, compute_dtype=compute_dtype)
     return (xt, off_t, mask_t, gt, w_nat, w_t), d
 
 
