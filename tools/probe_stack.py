@@ -33,11 +33,16 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--counts", default="2,4,8")
     ap.add_argument("--variant", default="f32r2")
+    ap.add_argument("--impl", default="v1", choices=["v1", "v2"])
+    ap.add_argument("--what", default="grad", choices=["grad", "fwd"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--out", default="/tmp/probe_stack.jsonl")
     args = ap.parse_args()
 
-    from monoflex_tpu.ops.dcn_pallas_bwd import dcn_pallas_vjp
+    if args.impl == "v2":
+        from monoflex_tpu.ops.dcn_pallas_v2 import dcn_pallas_v2_vjp as dcn_pallas_vjp
+    else:
+        from monoflex_tpu.ops.dcn_pallas_bwd import dcn_pallas_vjp
 
     dtype, R = VARIANTS[args.variant]
     rng = np.random.RandomState(0)
@@ -68,8 +73,9 @@ def main():
 
         params = [(w, b) for (_, _, _, w, b) in inputs]
         data = [(x, off, mask) for (x, off, mask, _, _) in inputs]
-        grad_fn = jax.jit(jax.grad(loss))
-        rec = {"n_layers": n, "variant": args.variant}
+        grad_fn = jax.jit(jax.grad(loss) if args.what == "grad" else loss)
+        rec = {"n_layers": n, "variant": args.variant, "impl": args.impl,
+               "what": args.what}
         try:
             t0 = time.perf_counter()
             g = grad_fn(params, data)
