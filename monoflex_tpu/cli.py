@@ -64,7 +64,8 @@ def main():
     tx, schedule = build_optimizer(cfg, variables["params"], steps_per_epoch)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        batch_stats=variables["batch_stats"],
-                       opt_state=tx.init(variables["params"]))
+                       opt_state=tx.init(variables["params"]),
+                       skips=jnp.zeros((), jnp.int32))
 
     checkpointer = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "ckpt"),
                                 cfg.SOLVER.LOAD_OPTIMIZER_SCHEDULER)

@@ -27,8 +27,11 @@ class TrainState(NamedTuple):
     opt_state: Any
     # device-side consecutive non-finite-step counter: exact regardless of
     # how often the host samples metrics (VERDICT r1: the host-side counter
-    # only saw every 10th step, so a NaN storm could run ~200 steps)
-    skips: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # only saw every 10th step, so a NaN storm could run ~200 steps).
+    # NO default value: a class-level default array would be one shared
+    # buffer across every TrainState, and donating any one of those states
+    # (donate_argnums) deletes the shared buffer for all of them.
+    skips: jnp.ndarray
 
 
 def create_train_state(model, tx, rng, sample_batch) -> TrainState:

@@ -64,7 +64,8 @@ def stack(tiny_cfg, tiny_root):
     tx, schedule = build_optimizer(cfg, variables["params"], steps_per_epoch=2)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        batch_stats=variables["batch_stats"],
-                       opt_state=tx.init(variables["params"]))
+                       opt_state=tx.init(variables["params"]),
+                       skips=jnp.zeros((), jnp.int32))
     train_step = jax.jit(make_train_step(model, loss_computer, tx))
     eval_step = jax.jit(make_eval_step(model, post), static_argnames="output_depth")
     return cfg, model, train_ds, eval_ds, state, train_step, eval_step, schedule

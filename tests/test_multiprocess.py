@@ -41,7 +41,7 @@ writer.close()
 
 ckpt = Checkpointer(os.path.join(out, "ckpt"))
 state = TrainState(step=jnp.zeros((), jnp.int32), params={{"w": jnp.ones(2)}},
-                   batch_stats={{}}, opt_state={{}})
+                   batch_stats={{}}, opt_state={{}}, skips=jnp.zeros((), jnp.int32))
 ckpt.save("model_x", state)
 print(f"RANK_OK {{rank}}")
 """

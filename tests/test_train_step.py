@@ -35,7 +35,8 @@ def tiny_setup(cfg):
     tx, schedule = build_optimizer(cfg, variables["params"], steps_per_epoch=10)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        batch_stats=variables["batch_stats"],
-                       opt_state=tx.init(variables["params"]))
+                       opt_state=tx.init(variables["params"]),
+                       skips=jnp.zeros((), jnp.int32))
     return model, tx, state, batch
 
 
@@ -106,7 +107,8 @@ def test_multichip_mesh_train_step(cfg):
     tx, _ = build_optimizer(cfg, variables["params"])
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        batch_stats=variables["batch_stats"],
-                       opt_state=tx.init(variables["params"]))
+                       opt_state=tx.init(variables["params"]),
+                       skips=jnp.zeros((), jnp.int32))
     state = jax.device_put(state, replicated(mesh))
     step = jax.jit(make_train_step(model, loss_computer, tx))
     batch = shard_batch(batch_np, mesh)
@@ -117,7 +119,8 @@ def test_multichip_mesh_train_step(cfg):
     # sharded-batch BN == global-batch BN (SyncBN for free under GSPMD)
     single_state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                               batch_stats=variables["batch_stats"],
-                              opt_state=tx.init(variables["params"]))
+                              opt_state=tx.init(variables["params"]),
+                       skips=jnp.zeros((), jnp.int32))
     s2, m2 = jax.jit(make_train_step(model, loss_computer, tx))(
         single_state, {k: jnp.asarray(v) for k, v in batch_np.items()})
     np.testing.assert_allclose(float(metrics["total_loss"]), float(m2["total_loss"]),
@@ -154,7 +157,8 @@ def test_backbone_freeze(cfg, tiny_setup):
     tx, _ = build_optimizer(c, state.params)
     frozen_state = TrainState(step=jnp.zeros((), jnp.int32), params=state.params,
                               batch_stats=state.batch_stats,
-                              opt_state=tx.init(state.params))
+                              opt_state=tx.init(state.params),
+                              skips=jnp.zeros((), jnp.int32))
     loss_computer = LossComputer(c)
     step = jax.jit(make_train_step(model, loss_computer, tx))
     new_state, _ = step(frozen_state, batch)

@@ -59,7 +59,8 @@ def test_nan_storm_aborts_at_true_threshold(tmp_path):
     tx, _ = build_optimizer(cfg, variables["params"], steps_per_epoch=10)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        batch_stats=variables["batch_stats"],
-                       opt_state=tx.init(variables["params"]))
+                       opt_state=tx.init(variables["params"]),
+                       skips=jnp.zeros((), jnp.int32))
     train_step = jax.jit(make_train_step(model, loss_computer, tx))
 
     # poison a float target field -> every loss is NaN, every step skipped
@@ -97,7 +98,8 @@ def test_skip_counter_resets_on_finite_step(tmp_path):
     tx, _ = build_optimizer(cfg, variables["params"], steps_per_epoch=10)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        batch_stats=variables["batch_stats"],
-                       opt_state=tx.init(variables["params"]))
+                       opt_state=tx.init(variables["params"]),
+                       skips=jnp.zeros((), jnp.int32))
     step = jax.jit(make_train_step(model, loss_computer, tx))
 
     bad = dict(batch)
@@ -126,6 +128,6 @@ def test_writer_and_checkpointer_rank_gated(tmp_path, monkeypatch):
     ckpt_dir = os.path.join(str(tmp_path), "ckpt")
     ckpt = Checkpointer(ckpt_dir, load_optimizer_scheduler=True)
     state = TrainState(step=jnp.zeros((), jnp.int32), params={"w": jnp.ones(2)},
-                       batch_stats={}, opt_state={})
+                       batch_stats={}, opt_state={}, skips=jnp.zeros((), jnp.int32))
     ckpt.save("model_x", state)
     assert not os.path.exists(os.path.join(ckpt_dir, "last_checkpoint"))

@@ -64,7 +64,8 @@ def main():
     tx, _ = build_optimizer(cfg, variables["params"])
     state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                        batch_stats=variables["batch_stats"],
-                       opt_state=tx.init(variables["params"]))
+                       opt_state=tx.init(variables["params"]),
+                       skips=jnp.zeros((), jnp.int32))
     step = jax.jit(make_train_step(model, loss_computer, tx), donate_argnums=0)
 
     state, metrics = step(state, batch)

@@ -78,7 +78,8 @@ def main():
     template = TrainState(step=jnp.zeros((), jnp.int32),
                           params=variables["params"],
                           batch_stats=variables["batch_stats"],
-                          opt_state=tx.init(variables["params"]))
+                          opt_state=tx.init(variables["params"]),
+                       skips=jnp.zeros((), jnp.int32))
     ckptr = Checkpointer(os.path.dirname(args.ckpt))
     state, _ = ckptr.load(template, args.ckpt)
 
