@@ -227,7 +227,8 @@ _C.TPU.MESH_AXES = ["data"]
 _C.TPU.COMPUTE_DTYPE = "float32"  # "bfloat16" for MXU-friendly mixed precision
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.USE_PALLAS_DCN = True      # Pallas deform-conv kernel vs pure-XLA gather
-_C.TPU.DCN_KERNEL_VERSION = 1     # 1 = channels-on-sublanes, 2 = NHWC-native
+_C.TPU.DCN_KERNEL_VERSION = 2     # 2 = NHWC-native (measured faster: 51.2
+                                  # vs 46.3 img/s), 1 = channels-on-sublanes
 # override the platform-automatic DCN implementation choice
 # ("" = auto; shift | gather | pallas | pallas2 | none) — e.g. force the
 # clamped shift semantics on CPU for offset-clamp ablations
