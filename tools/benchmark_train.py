@@ -46,6 +46,10 @@ def main():
         cfg.TPU.REMAT_BACKBONE = True
     if os.environ.get("BENCH_KERNEL_VERSION"):
         cfg.TPU.DCN_KERNEL_VERSION = int(os.environ["BENCH_KERNEL_VERSION"])
+    if os.environ.get("BENCH_IMPL_PER_STAGE"):
+        # e.g. "pallas2,pallas,pallas,pallas" (ida_0 deepest ... final ida_up)
+        cfg.TPU.DCN_IMPL_PER_STAGE = tuple(
+            os.environ["BENCH_IMPL_PER_STAGE"].split(","))
     if os.environ.get("BENCH_DTYPE"):
         cfg.TPU.COMPUTE_DTYPE = os.environ["BENCH_DTYPE"]
     if os.environ.get("BENCH_INPUT"):
