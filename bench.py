@@ -44,6 +44,10 @@ def main():
         cfg.MODEL.BACKBONE.CONV_BODY = "dla34"  # gather picked on non-TPU only
     if os.environ.get("BENCH_KERNEL_VERSION"):
         cfg.TPU.DCN_KERNEL_VERSION = int(os.environ["BENCH_KERNEL_VERSION"])
+    if os.environ.get("BENCH_IMPL_PER_STAGE"):
+        # e.g. "gather,gather,pallas2,pallas2" (ida_0 deepest ... final ida_up)
+        cfg.TPU.DCN_IMPL_PER_STAGE = tuple(
+            os.environ["BENCH_IMPL_PER_STAGE"].split(","))
     if os.environ.get("BENCH_DTYPE"):
         cfg.TPU.COMPUTE_DTYPE = os.environ["BENCH_DTYPE"]
 
