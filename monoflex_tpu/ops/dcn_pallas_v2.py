@@ -492,6 +492,118 @@ def dcn_pallas_v2_bwd_doff(x, offset, mask, weight, g, max_offset: int = 2,
     return doff[:, :H].astype(offset.dtype)
 
 
+def _dwmo2_kernel(x_hbm, off_ref, mask_ref, g_ref, wt_ref,
+                  dmask_ref, dw_ref, doff_ref,
+                  xv_ref, xs_ref, u_ref, s_ref, t_ref, sem,
+                  *, tile_h: int, width: int, max_offset: int, compute_dtype):
+    """Fused dmask + dW + doffset: one kernel instead of dwm + doff.
+
+    All three gradients recompute the tap samples from the same xs window and
+    contract against the same u_k = g W_k^T; fusing shares the x-halo DMA,
+    the 2P+1 shifted-copy expansion and the 9 u matmuls that the split
+    kernels each redo, and cuts the per-shape Mosaic kernel count from 4 to
+    3 (the remote compile helper's memory scales with kernel count)."""
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+
+    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(row0, xv_ref.shape[0])],
+                               xv_ref, sem)
+    cp.start()
+    cp.wait()
+    for j in range(2 * P + 1):
+        xs_ref[j] = xv_ref[:, j: j + width, :]
+
+    g2 = g_ref[0].reshape(tile_h * width, g_ref.shape[-1])
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+        u_ref[...] = jnp.dot(g2, wt_ref[k],
+                             preferred_element_type=jnp.float32).reshape(
+            u_ref.shape).astype(u_ref.dtype)
+        u32 = u_ref[...].astype(jnp.float32)
+        oy_raw = off_ref[0, 2 * k]
+        ox_raw = off_ref[0, 2 * k + 1]
+        oy = jnp.clip(oy_raw, -R, R)
+        ox = jnp.clip(ox_raw, -R, R)
+        mk = mask_ref[0, k]
+
+        # S pass: plain hat x hat samples -> dmask (lane reduce) and dW
+        _window_sample(xs_ref, oy, ox, ky, kx, R, P, tile_h, width,
+                       s_ref, t_ref, compute_dtype)
+        dmask_ref[0, :, :, k] = jnp.sum(
+            s_ref[...].astype(jnp.float32) * u32, axis=-1)
+        sk = (s_ref[...] * mk[:, :, None].astype(compute_dtype)).reshape(
+            tile_h * width, s_ref.shape[-1])
+        dw_ref[0, 0, k] = jax.lax.dot_general(
+            sk, g2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        # SY / SX passes: hat' derivative samples -> doffset (zero where the
+        # raw offset sits beyond the clamp, matching the clipped forward)
+        _window_sample(xs_ref, oy, ox, ky, kx, R, P, tile_h, width,
+                       s_ref, t_ref, compute_dtype, dy_weight=_dhat)
+        doff_ref[0, :, :, 2 * k] = (jnp.sum(
+            s_ref[...].astype(jnp.float32) * u32, axis=-1)
+            * mk * (jnp.abs(oy_raw) <= R).astype(jnp.float32))
+        _window_sample(xs_ref, oy, ox, ky, kx, R, P, tile_h, width,
+                       s_ref, t_ref, compute_dtype, dx_weight=_dhat)
+        doff_ref[0, :, :, 2 * k + 1] = (jnp.sum(
+            s_ref[...].astype(jnp.float32) * u32, axis=-1)
+            * mk * (jnp.abs(ox_raw) <= R).astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_v2_bwd_dwmo(x, offset, mask, weight, g, max_offset: int = 2,
+                           compute_dtype=None):
+    """Fused mask + weight + offset gradients; returns (dmask, dw, doff)."""
+    args, d = _prep2(x, offset, mask, weight, g, max_offset, compute_dtype)
+    xt, off_t, mask_t, gt, w_nat, w_t = args
+    B, H, W, C, Co = d["B"], d["H"], d["W"], d["C"], d["Co"]
+    Cp = d["Cp"]
+    tile_h, Hp, win_h, P = d["tile_h"], d["Hp"], d["win_h"], d["P"]
+    n_tiles = Hp // tile_h
+    kernel = functools.partial(_dwmo2_kernel, tile_h=tile_h, width=W,
+                               max_offset=max_offset,
+                               compute_dtype=d["compute_dtype"])
+    dmask, dw, doff = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((9, Co, Cp), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_h, W, 9), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 9, Cp, Co), lambda b, h: (b, h, 0, 0, 0)),
+            pl.BlockSpec((1, tile_h, W, 18), lambda b, h: (b, h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hp, W, 9), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, 9, Cp, Co), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hp, W, 18), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((win_h, d["wp2f"], Cp), d["compute_dtype"]),
+            pltpu.VMEM((2 * P + 1, win_h, W, Cp), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(xt, off_t, mask_t, gt, w_t)
+    dmask = dmask[:, :H].astype(mask.dtype)
+    dw = jnp.sum(dw, axis=(0, 1))[:, :C].reshape(3, 3, C, Co).astype(weight.dtype)
+    doff = doff[:, :H].astype(offset.dtype)
+    return dmask, dw, doff
+
+
 def _prep2(x, offset, mask, weight, g, max_offset, compute_dtype):
     """Shared operand prep for the v2 dwm/doff kernels (NHWC halos for x,
     compact transposed offset/mask, NHWC g tiles, both weight forms)."""
@@ -529,17 +641,22 @@ def _prep2(x, offset, mask, weight, g, max_offset, compute_dtype):
 
 
 def dcn_pallas_v2_bwd(x, offset, mask, weight, g, max_offset: int = 2,
-                      compute_dtype=None):
-    """All five gradients via the three v2 kernels."""
+                      compute_dtype=None, fused: bool = True):
+    """All five gradients via the v2 kernels (two when fused, else three)."""
     dx = dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g,
                               max_offset=max_offset,
                               compute_dtype=compute_dtype)
-    dmask, dw = dcn_pallas_v2_bwd_dwm(x, offset, mask, weight, g,
+    if fused:
+        dmask, dw, doff = dcn_pallas_v2_bwd_dwmo(
+            x, offset, mask, weight, g, max_offset=max_offset,
+            compute_dtype=compute_dtype)
+    else:
+        dmask, dw = dcn_pallas_v2_bwd_dwm(x, offset, mask, weight, g,
+                                          max_offset=max_offset,
+                                          compute_dtype=compute_dtype)
+        doff = dcn_pallas_v2_bwd_doff(x, offset, mask, weight, g,
                                       max_offset=max_offset,
                                       compute_dtype=compute_dtype)
-    doff = dcn_pallas_v2_bwd_doff(x, offset, mask, weight, g,
-                                  max_offset=max_offset,
-                                  compute_dtype=compute_dtype)
     db = jnp.sum(g, axis=(0, 1, 2))
     return dx, doff, dmask, dw, db
 

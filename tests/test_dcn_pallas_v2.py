@@ -102,6 +102,21 @@ def test_v2_bwd_dx_matches_oracle(chunk):
                                atol=2e-3)
 
 
+def test_v2_fused_dwmo_matches_split():
+    # the fused dmask+dW+doffset kernel vs the split dwm/doff kernels
+    x, off, mask, w, b = make_inputs(seed=5, B=1, H=16, W=16)
+    g = jnp.asarray(np.random.RandomState(11).randn(1, 16, 16, 8), jnp.float32)
+    dmask_f, dw_f, doff_f = DP2.dcn_pallas_v2_bwd_dwmo(x, off, mask, w, g,
+                                                       max_offset=2)
+    dmask_s, dw_s = DP2.dcn_pallas_v2_bwd_dwm(x, off, mask, w, g, max_offset=2)
+    doff_s = DP2.dcn_pallas_v2_bwd_doff(x, off, mask, w, g, max_offset=2)
+    np.testing.assert_allclose(np.asarray(dmask_f), np.asarray(dmask_s),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_f), np.asarray(dw_s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(doff_f), np.asarray(doff_s),
+                               atol=1e-5)
+
+
 def test_v2_bf16_window_close_to_f32():
     x, off, mask, w, b = make_inputs(seed=3)
     out_bf = DP2.dcn_pallas_v2(x, off, mask, w, b, max_offset=2,
