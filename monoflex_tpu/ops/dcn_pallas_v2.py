@@ -173,7 +173,8 @@ def _hat(t):
 
 
 def _dx2_kernel(g_hbm, offh_hbm, maskh_hbm, w_ref, dx_ref,
-                gv_ref, uv_ref, us_ref, offh_ref, maskh_ref, acc_ref, sem,
+                gv_ref, uv_ref, us_ref, offh_ref, maskh_ref, wmap_ref,
+                acc_ref, sem,
                 *, tile_h: int, width: int, max_offset: int, compute_dtype):
     """dx[q] = sum_k sum_d hatw_{k,d}(q-d) m_k(q-d) u_k(q-d), u_k = g W_k^T.
 
@@ -221,10 +222,15 @@ def _dx2_kernel(g_hbm, offh_hbm, maskh_hbm, w_ref, dx_ref,
             rs = slice(8 - dy, 8 - dy + tile_h)
             for dx in range(kx - R, kx + R + 1):
                 cs = slice(P - dx, P - dx + width)
-                w_map = (wyh[rs, cs] * _hat(oxh[rs, cs] + (kx - dx))
-                         * mh[rs, cs])
+                # store the sliced (sublane/lane-offset) weight map into an
+                # aligned scratch before broadcasting along C: Mosaic cannot
+                # shape_cast a 2-D vector with a padded/offset layout to 3-D
+                # (observed "not implemented" crash at the flagship compile)
+                wmap_ref[...] = (wyh[rs, cs] * _hat(oxh[rs, cs] + (kx - dx))
+                                 * mh[rs, cs])
                 acc_ref[...] += (us_ref[P - dx, P - dy: P - dy + tile_h]
-                                 * w_map[:, :, None].astype(compute_dtype))
+                                 * wmap_ref[...][:, :, None].astype(
+                                     compute_dtype))
     dx_ref[0] = acc_ref[...].astype(dx_ref.dtype)
 
 
@@ -289,6 +295,7 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
             pltpu.VMEM((2 * P + 1, win_h, W, cc), compute_dtype),
             pltpu.VMEM((18, tile_h + 16, wp2), jnp.float32),
             pltpu.VMEM((9, tile_h + 16, wp2), jnp.float32),
+            pltpu.VMEM((tile_h, W), jnp.float32),
             pltpu.VMEM((tile_h, W, cc), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
