@@ -301,12 +301,18 @@ class DCN(nn.Module):
         if self.impl == "pallas2" and simple_geom:
             from ...ops.dcn_pallas_v2 import dcn_pallas_v2_vjp
 
-            return dcn_pallas_v2_vjp(x, offset, mask, weight, bias,
-                                     self.max_offset)
+            # kernel window math stays f32 even under a bf16 model: bf16
+            # windows measured SLOWER on the VPU (the hat-weight maps are f32
+            # and the per-term converts dominate) and the stride-4 shape
+            # overflows VMEM in bf16 (docs/DESIGN.md); downstream BN casts
+            # back to the model dtype
+            return dcn_pallas_v2_vjp(x.astype(jnp.float32), offset, mask,
+                                     weight, bias, self.max_offset)
         if self.impl == "pallas" and simple_geom:
             from ...ops.dcn_pallas_bwd import dcn_pallas_vjp
 
-            return dcn_pallas_vjp(x, offset, mask, weight, bias, self.max_offset)
+            return dcn_pallas_vjp(x.astype(jnp.float32), offset, mask, weight,
+                                  bias, self.max_offset)
         if self.impl == "shift" and simple_geom:
             return modulated_deform_conv_shift(x, offset, mask, weight, bias,
                                                max_offset=self.max_offset)

@@ -259,10 +259,14 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
                  ((0, 0), (P, P + pad_h), (P, wp2 - W - P), (0, Cop - Co)))
     off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
     mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
-    # 8-row guard bands (rows are sublanes in the compact layout)
-    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (8, 8 + pad_h), (P, wp2 - W - P)))
+    # 8-row guard bands (rows are sublanes in the compact layout); the minor
+    # (column) dim of these manually-DMA'd buffers must be 128-lane aligned
+    # (Mosaic: "Slice shape along dimension 3 must be aligned to tiling"),
+    # so they get extra right padding beyond the wp2 compute width
+    wp2o = wp2 + (-wp2) % 128
+    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (8, 8 + pad_h), (P, wp2o - W - P)))
     mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (8, 8 + pad_h),
-                              (P, wp2 - W - P)))
+                              (P, wp2o - W - P)))
     # W_k^T chunks along the dx channel dim C (rows padded with the g lanes)
     w_t = jnp.pad(
         jnp.transpose(weight.reshape(9, C, Co), (0, 2, 1)).astype(compute_dtype),
@@ -293,8 +297,8 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
             pltpu.VMEM((win_h, wp2, Cop), compute_dtype),
             pltpu.VMEM((win_h, wp2, cc), compute_dtype),
             pltpu.VMEM((2 * P + 1, win_h, W, cc), compute_dtype),
-            pltpu.VMEM((18, tile_h + 16, wp2), jnp.float32),
-            pltpu.VMEM((9, tile_h + 16, wp2), jnp.float32),
+            pltpu.VMEM((18, tile_h + 16, wp2o), jnp.float32),
+            pltpu.VMEM((9, tile_h + 16, wp2o), jnp.float32),
             pltpu.VMEM((tile_h, W), jnp.float32),
             pltpu.VMEM((tile_h, W, cc), jnp.float32),
             pltpu.SemaphoreType.DMA(()),

@@ -1,0 +1,142 @@
+"""Standalone Mosaic compile-validation for the v2 DCN kernels on real TPU.
+
+The full train-step program takes ~60 min per compile attempt through the
+remote helper and surfaces ONE Mosaic error per attempt (docs/DESIGN.md
+round-2 campaign).  This tool compiles each v2 kernel (fwd / dx / dwmo)
+standalone at the EXACT (H, W, C, Co) instances a given per-stage impl mix
+puts on the Pallas path, so every per-kernel lowering bug is found in
+minutes, before paying for the monolithic compile.
+
+Usage (detached; compiles are minutes each through the remote helper):
+  nohup python tools/compile_v2_kernels.py --what fwd,dx,dwmo \
+      > /tmp/compile_v2.log 2>&1 &
+
+--oracle additionally cross-checks each kernel against the XLA shift
+reference at batch 2 (same clamped-window math) on the device.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# exact kernel instances of the gather-coarse / pallas2-fine training mix
+# (TPU.DCN_IMPL_PER_STAGE = gather,gather,pallas2,pallas2 at 384x1280):
+#   ida_2 proj_1..3 (48,160,128,64); ida_2 node_1..3 (96,320,64,64)
+#   ida_up proj_1 (48,160,64,64); proj_2 (24,80,64,64); node_1..2 (96,320,64,64)
+TRAIN_MIX_SHAPES = [
+    (96, 320, 64, 64),
+    (48, 160, 128, 64),
+    (48, 160, 64, 64),
+    (24, 80, 64, 64),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="fwd,dx,dwmo")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--max-offset", type=int, default=2)
+    ap.add_argument("--oracle", action="store_true",
+                    help="cross-check vs XLA shift impl at batch 2")
+    ap.add_argument("--out", default="/tmp/compile_v2.jsonl")
+    args = ap.parse_args()
+
+    from monoflex_tpu.ops import dcn_pallas_v2 as V2
+    from monoflex_tpu.ops.dcn import modulated_deform_conv_shift
+
+    R = args.max_offset
+    rng = np.random.RandomState(0)
+
+    for (H, W, C, Co) in TRAIN_MIX_SHAPES:
+        B = args.batch
+        x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+        off = jnp.asarray(rng.randn(B, H, W, 18) * 1.5, jnp.float32)
+        mask = jnp.asarray(rng.rand(B, H, W, 9), jnp.float32)
+        w = jnp.asarray(rng.randn(3, 3, C, Co) * 0.05, jnp.float32)
+        bias = jnp.zeros((Co,), jnp.float32)
+        g = jnp.asarray(rng.randn(B, H, W, Co), jnp.float32)
+
+        fns = {
+            "fwd": lambda: V2.dcn_pallas_v2(x, off, mask, w, bias,
+                                            max_offset=R),
+            "dx": lambda: V2.dcn_pallas_v2_bwd_dx(x, off, mask, w, g,
+                                                  max_offset=R),
+            "dwmo": lambda: V2.dcn_pallas_v2_bwd_dwmo(x, off, mask, w, g,
+                                                      max_offset=R),
+            "dwm": lambda: V2.dcn_pallas_v2_bwd_dwm(x, off, mask, w, g,
+                                                    max_offset=R),
+            "doff": lambda: V2.dcn_pallas_v2_bwd_doff(x, off, mask, w, g,
+                                                      max_offset=R),
+        }
+        for what in args.what.split(","):
+            rec = {"shape": [H, W, C, Co], "kernel": what, "batch": B, "R": R}
+            try:
+                t0 = time.perf_counter()
+                out = fns[what]()
+                jax.block_until_ready(out)
+                rec["compile_s"] = round(time.perf_counter() - t0, 1)
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    out = fns[what]()
+                jax.block_until_ready(out)
+                rec["ms_loop"] = round(
+                    (time.perf_counter() - t0) / args.iters * 1e3, 3)
+            except Exception:  # noqa: BLE001
+                rec["error"] = traceback.format_exc()[-1600:]
+            line = json.dumps(rec)
+            print(line, flush=True)
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
+
+        if args.oracle and "error" not in rec:
+            # batch-2 numeric cross-check of the full VJP vs the XLA shift
+            # implementation (identical clamped-window math)
+            b2 = 2
+            x2, off2 = x[:b2], off[:b2]
+            m2, g2 = mask[:b2], g[:b2]
+
+            def loss_shift(x, off, m, w, bias):
+                return jnp.vdot(modulated_deform_conv_shift(
+                    x, off, m, w, bias, max_offset=R), g2)
+
+            def loss_v2(x, off, m, w, bias):
+                return jnp.vdot(V2.dcn_pallas_v2_vjp(
+                    x, off, m, w, bias, R), g2)
+
+            rec = {"shape": [H, W, C, Co], "kernel": "vjp-parity", "batch": b2}
+            try:
+                ref = jax.grad(loss_shift, argnums=(0, 1, 2, 3, 4))(
+                    x2, off2, m2, w, bias)
+                got = jax.grad(loss_v2, argnums=(0, 1, 2, 3, 4))(
+                    x2, off2, m2, w, bias)
+                for name, r, t in zip(("dx", "doff", "dmask", "dw", "db"),
+                                      ref, got):
+                    denom = float(jnp.max(jnp.abs(r))) or 1.0
+                    rec[f"relerr_{name}"] = round(
+                        float(jnp.max(jnp.abs(r - t))) / denom, 6)
+            except Exception:  # noqa: BLE001
+                rec["error"] = traceback.format_exc()[-1600:]
+            line = json.dumps(rec)
+            print(line, flush=True)
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
