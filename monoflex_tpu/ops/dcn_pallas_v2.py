@@ -173,8 +173,8 @@ def _hat(t):
 
 
 def _dx2_kernel(g_hbm, offh_hbm, maskh_hbm, w_ref, dx_ref,
-                gv_ref, uv_ref, us_ref, offh_ref, maskh_ref, wmap_ref,
-                acc_ref, sem,
+                gv_ref, uv_ref, us_ref, offh_ref, maskh_ref, hxm_ref,
+                wmap_ref, acc_ref, sem,
                 *, tile_h: int, width: int, max_offset: int, compute_dtype):
     """dx[q] = sum_k sum_d hatw_{k,d}(q-d) m_k(q-d) u_k(q-d), u_k = g W_k^T.
 
@@ -214,20 +214,24 @@ def _dx2_kernel(g_hbm, offh_hbm, maskh_hbm, w_ref, dx_ref,
         for j in range(2 * P + 1):
             us_ref[j] = uv_ref[:, j: j + width, :]
 
-        oyh = jnp.clip(offh_ref[2 * k], -R, R)          # (win_h8, wp2) compact
+        oyh = jnp.clip(offh_ref[2 * k], -R, R)          # (win_h8, wp2o) compact
         oxh = jnp.clip(offh_ref[2 * k + 1], -R, R)
-        mh = maskh_ref[k]
+        # hoist the per-tap hat_x * mask maps out of the (2R+1)^2 inner loop:
+        # they depend only on dx, and folding the mask here removes two of
+        # the three per-term map multiplies (the fully unrolled inner loop's
+        # live temporaries were the scoped-VMEM stack peak; docs/DESIGN.md)
+        for j, dx in enumerate(range(kx - R, kx + R + 1)):
+            hxm_ref[j] = _hat(oxh + (kx - dx)) * maskh_ref[k]
         for dy in range(ky - R, ky + R + 1):
             wyh = _hat(oyh + (ky - dy))
             rs = slice(8 - dy, 8 - dy + tile_h)
-            for dx in range(kx - R, kx + R + 1):
+            for j, dx in enumerate(range(kx - R, kx + R + 1)):
                 cs = slice(P - dx, P - dx + width)
                 # store the sliced (sublane/lane-offset) weight map into an
                 # aligned scratch before broadcasting along C: Mosaic cannot
                 # shape_cast a 2-D vector with a padded/offset layout to 3-D
                 # (observed "not implemented" crash at the flagship compile)
-                wmap_ref[...] = (wyh[rs, cs] * _hat(oxh[rs, cs] + (kx - dx))
-                                 * mh[rs, cs])
+                wmap_ref[...] = wyh[rs, cs] * hxm_ref[j, rs, cs]
                 acc_ref[...] += (us_ref[P - dx, P - dy: P - dy + tile_h]
                                  * wmap_ref[...][:, :, None].astype(
                                      compute_dtype))
@@ -246,7 +250,10 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
     P = R + 1
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-    tile_h = _pick_tile_h(H)
+    # dx runs a 8-row tile on the big maps (vs 16 elsewhere): its unrolled
+    # (2R+1)^2 inner loop is the scoped-VMEM stack peak, and the stack scales
+    # with the per-iteration map size
+    tile_h = 8 if H > 32 else _pick_tile_h(H)
     pad_h = (-H) % tile_h
     Hp = H + pad_h
     win_h = tile_h + 2 * P
@@ -299,6 +306,7 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
             pltpu.VMEM((2 * P + 1, win_h, W, cc), compute_dtype),
             pltpu.VMEM((18, tile_h + 16, wp2o), jnp.float32),
             pltpu.VMEM((9, tile_h + 16, wp2o), jnp.float32),
+            pltpu.VMEM((2 * P + 1, tile_h + 16, wp2o), jnp.float32),
             pltpu.VMEM((tile_h, W), jnp.float32),
             pltpu.VMEM((tile_h, W, cc), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -652,8 +660,13 @@ def _prep2(x, offset, mask, weight, g, max_offset, compute_dtype):
 
 
 def dcn_pallas_v2_bwd(x, offset, mask, weight, g, max_offset: int = 2,
-                      compute_dtype=None, fused: bool = True):
-    """All five gradients via the v2 kernels (two when fused, else three)."""
+                      compute_dtype=None, fused: bool = False):
+    """All five gradients via the v2 kernels (two when fused, else three).
+
+    fused=False is the default: the fused dwmo kernel's 27 unrolled window
+    passes (1323 inner terms) send Mosaic compile time pathological (>45 min
+    for ONE shape, measured on v5e via tools/compile_v2_kernels.py), while
+    the split dwm/doff kernels compile in minutes and run the same math."""
     dx = dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g,
                               max_offset=max_offset,
                               compute_dtype=compute_dtype)
