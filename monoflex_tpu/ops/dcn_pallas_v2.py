@@ -513,15 +513,18 @@ def dcn_pallas_v2_bwd_doff(x, offset, mask, weight, g, max_offset: int = 2,
 
 def _dwmo2_kernel(x_hbm, off_ref, mask_ref, g_ref, wt_ref,
                   dmask_ref, dw_ref, doff_ref,
-                  xv_ref, xs_ref, u_ref, s_ref, t_ref, sem,
+                  xv_ref, xs_ref, u_ref, s_ref, sy_ref, sx_ref, t_ref, td_ref,
+                  sem,
                   *, tile_h: int, width: int, max_offset: int, compute_dtype):
-    """Fused dmask + dW + doffset: one kernel instead of dwm + doff.
+    """Fused dmask + dW + doffset in a SINGLE window sweep.
 
-    All three gradients recompute the tap samples from the same xs window and
-    contract against the same u_k = g W_k^T; fusing shares the x-halo DMA,
-    the 2P+1 shifted-copy expansion and the 9 u matmuls that the split
-    kernels each redo, and cuts the per-shape Mosaic kernel count from 4 to
-    3 (the remote compile helper's memory scales with kernel count)."""
+    S (hat*hat), SY (hat'*hat) and SX (hat*hat') share every `rows` read: the
+    inner dx loop accumulates t += rows*wx and td += rows*wx', the outer dy
+    loop distributes wy/wy' over both.  ~1.1k vector ops per tap-sweep vs
+    ~2.2k for the split dwm+doff pair and ~3.3k for the old three-pass fused
+    kernel (whose Mosaic compile ran >45 min at the stride-4 shape) — this
+    is both the fastest-compiling and fastest-running form of the non-dx
+    backward."""
     R = max_offset
     P = R + 1
     b = pl.program_id(0)
@@ -547,9 +550,24 @@ def _dwmo2_kernel(x_hbm, off_ref, mask_ref, g_ref, wt_ref,
         ox = jnp.clip(ox_raw, -R, R)
         mk = mask_ref[0, k]
 
-        # S pass: plain hat x hat samples -> dmask (lane reduce) and dW
-        _window_sample(xs_ref, oy, ox, ky, kx, R, P, tile_h, width,
-                       s_ref, t_ref, compute_dtype)
+        s_ref[...] = jnp.zeros_like(s_ref)
+        sy_ref[...] = jnp.zeros_like(sy_ref)
+        sx_ref[...] = jnp.zeros_like(sx_ref)
+        for dy in range(ky - R, ky + R + 1):
+            wy = _hat(oy + (ky - dy))
+            wyd = _dhat(oy + (ky - dy))
+            t_ref[...] = jnp.zeros_like(t_ref)
+            td_ref[...] = jnp.zeros_like(td_ref)
+            for dx in range(kx - R, kx + R + 1):
+                wx = _hat(ox + (kx - dx))
+                wxd = _dhat(ox + (kx - dx))
+                rows = xs_ref[P + dx, P + dy: P + dy + tile_h, :, :]
+                t_ref[...] += rows * wx[:, :, None].astype(compute_dtype)
+                td_ref[...] += rows * wxd[:, :, None].astype(compute_dtype)
+            s_ref[...] += t_ref[...] * wy[:, :, None].astype(compute_dtype)
+            sx_ref[...] += td_ref[...] * wy[:, :, None].astype(compute_dtype)
+            sy_ref[...] += t_ref[...] * wyd[:, :, None].astype(compute_dtype)
+
         dmask_ref[0, :, :, k] = jnp.sum(
             s_ref[...].astype(jnp.float32) * u32, axis=-1)
         sk = (s_ref[...] * mk[:, :, None].astype(compute_dtype)).reshape(
@@ -557,18 +575,13 @@ def _dwmo2_kernel(x_hbm, off_ref, mask_ref, g_ref, wt_ref,
         dw_ref[0, 0, k] = jax.lax.dot_general(
             sk, g2, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-
-        # SY / SX passes: hat' derivative samples -> doffset (zero where the
-        # raw offset sits beyond the clamp, matching the clipped forward)
-        _window_sample(xs_ref, oy, ox, ky, kx, R, P, tile_h, width,
-                       s_ref, t_ref, compute_dtype, dy_weight=_dhat)
+        # doffset: derivative samples, gated to zero where the raw offset
+        # sits beyond the clamp (matching the clipped forward)
         doff_ref[0, :, :, 2 * k] = (jnp.sum(
-            s_ref[...].astype(jnp.float32) * u32, axis=-1)
+            sy_ref[...].astype(jnp.float32) * u32, axis=-1)
             * mk * (jnp.abs(oy_raw) <= R).astype(jnp.float32))
-        _window_sample(xs_ref, oy, ox, ky, kx, R, P, tile_h, width,
-                       s_ref, t_ref, compute_dtype, dx_weight=_dhat)
         doff_ref[0, :, :, 2 * k + 1] = (jnp.sum(
-            s_ref[...].astype(jnp.float32) * u32, axis=-1)
+            sx_ref[...].astype(jnp.float32) * u32, axis=-1)
             * mk * (jnp.abs(ox_raw) <= R).astype(jnp.float32))
 
 
@@ -611,9 +624,12 @@ def dcn_pallas_v2_bwd_dwmo(x, offset, mask, weight, g, max_offset: int = 2,
         scratch_shapes=[
             pltpu.VMEM((win_h, d["wp2f"], Cp), d["compute_dtype"]),
             pltpu.VMEM((2 * P + 1, win_h, W, Cp), d["compute_dtype"]),
-            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
-            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
-            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),   # u
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),   # s
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),   # sy
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),   # sx
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),   # t
+            pltpu.VMEM((tile_h, W, Cp), d["compute_dtype"]),   # td
             pltpu.SemaphoreType.DMA(()),
         ],
     )(xt, off_t, mask_t, gt, w_t)
@@ -660,13 +676,15 @@ def _prep2(x, offset, mask, weight, g, max_offset, compute_dtype):
 
 
 def dcn_pallas_v2_bwd(x, offset, mask, weight, g, max_offset: int = 2,
-                      compute_dtype=None, fused: bool = False):
+                      compute_dtype=None, fused: bool = True):
     """All five gradients via the v2 kernels (two when fused, else three).
 
-    fused=False is the default: the fused dwmo kernel's 27 unrolled window
-    passes (1323 inner terms) send Mosaic compile time pathological (>45 min
-    for ONE shape, measured on v5e via tools/compile_v2_kernels.py), while
-    the split dwm/doff kernels compile in minutes and run the same math."""
+    fused=True runs the SINGLE-SWEEP dwmo kernel (S/SY/SX accumulated in one
+    window pass).  Mosaic compile time scales hard with unrolled vector-op
+    count: the old three-pass fused kernel took >45 min per shape and the
+    split doff kernel (two passes) >18 min, while single-sweep dwmo carries
+    the fewest ops of any arrangement.  The split dwm/doff pair remains for
+    comparison/debug."""
     dx = dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g,
                               max_offset=max_offset,
                               compute_dtype=compute_dtype)
