@@ -183,7 +183,14 @@ def _dx2_kernel(g_hbm, offh_hbm, maskh_hbm, w_ref, dx_ref,
     column-aligned copies so every window term is an aligned read.  The grid
     carries a channel-chunk dim so the deep 512-channel layer's working set
     stays small (the v1 kernel's whole-C scratch drove the f32 train-step
-    VMEM overflow; docs/DESIGN.md)."""
+    VMEM overflow; docs/DESIGN.md).
+
+    Taps run under lax.fori_loop (a Python unroll of all 225 window terms
+    spilled 119 MB of vector registers and overflowed VMEM on v5e).  The
+    tap-dependent window reads are dynamic indices on untiled dims; the
+    tap-dependent weight-map windows — whose row dim lives on SUBLANES,
+    where dynamic slice starts are illegal — are extracted with dynamic
+    pltpu.roll + static slice instead."""
     R = max_offset
     P = R + 1
     b = pl.program_id(0)
@@ -205,36 +212,40 @@ def _dx2_kernel(g_hbm, offh_hbm, maskh_hbm, w_ref, dx_ref,
         cp.wait()
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    for k in range(9):
-        ky, kx = k // 3 - 1, k % 3 - 1
-        gk = gv_ref[...].reshape(win_h * wp2, gv_ref.shape[-1])
-        uv_ref[...] = jnp.dot(gk, w_ref[k],
+    gk = gv_ref[...].reshape(win_h * wp2, gv_ref.shape[-1])
+
+    def tap_body(k, carry):
+        ky = k // 3 - 1
+        kx = k % 3 - 1
+        uv_ref[...] = jnp.dot(gk, w_ref[pl.ds(k, 1)][0],
                               preferred_element_type=jnp.float32).reshape(
             uv_ref.shape).astype(uv_ref.dtype)
         for j in range(2 * P + 1):
             us_ref[j] = uv_ref[:, j: j + width, :]
 
-        oyh = jnp.clip(offh_ref[2 * k], -R, R)          # (win_h8, wp2o) compact
-        oxh = jnp.clip(offh_ref[2 * k + 1], -R, R)
-        # hoist the per-tap hat_x * mask maps out of the (2R+1)^2 inner loop:
-        # they depend only on dx, and folding the mask here removes two of
-        # the three per-term map multiplies (the fully unrolled inner loop's
-        # live temporaries were the scoped-VMEM stack peak; docs/DESIGN.md)
-        for j, dx in enumerate(range(kx - R, kx + R + 1)):
-            hxm_ref[j] = _hat(oxh + (kx - dx)) * maskh_ref[k]
-        for dy in range(ky - R, ky + R + 1):
-            wyh = _hat(oyh + (ky - dy))
-            rs = slice(8 - dy, 8 - dy + tile_h)
-            for j, dx in enumerate(range(kx - R, kx + R + 1)):
-                cs = slice(P - dx, P - dx + width)
-                # store the sliced (sublane/lane-offset) weight map into an
-                # aligned scratch before broadcasting along C: Mosaic cannot
-                # shape_cast a 2-D vector with a padded/offset layout to 3-D
-                # (observed "not implemented" crash at the flagship compile)
-                wmap_ref[...] = wyh[rs, cs] * hxm_ref[j, rs, cs]
-                acc_ref[...] += (us_ref[P - dx, P - dy: P - dy + tile_h]
-                                 * wmap_ref[...][:, :, None].astype(
-                                     compute_dtype))
+        oyh = jnp.clip(offh_ref[pl.ds(2 * k, 1)][0], -R, R)   # (win_h8, wp2o)
+        oxh = jnp.clip(offh_ref[pl.ds(2 * k + 1, 1)][0], -R, R)
+        mh = maskh_ref[pl.ds(k, 1)][0]
+        # hat_x * mask maps depend only on f: hoist out of the inner loop
+        for j, f in enumerate(range(-R, R + 1)):
+            hxm_ref[j] = _hat(oxh - f) * mh
+        for e in range(-R, R + 1):              # dy = ky + e
+            wyh = _hat(oyh - e)
+            for j, f in enumerate(range(-R, R + 1)):   # dx = kx + f
+                # weight-map window rows [8-dy, 8-dy+tile_h) x cols
+                # [P-dx, P-dx+width): dynamic roll to the origin + static
+                # slice (rows are sublanes: dynamic starts are illegal)
+                wm = pltpu.roll(wyh * hxm_ref[j],
+                                shift=(ky + e) - 8, axis=0)
+                wm = pltpu.roll(wm, shift=(kx + f) - P, axis=1)
+                wmap_ref[...] = wm[:tile_h, :width]
+                rows = us_ref[pl.ds(P - kx - f, 1),
+                              pl.ds(P - ky - e, tile_h)][0]
+                acc_ref[...] += (rows * wmap_ref[...][:, :, None].astype(
+                    compute_dtype))
+        return carry
+
+    jax.lax.fori_loop(0, 9, tap_body, 0)
     dx_ref[0] = acc_ref[...].astype(dx_ref.dtype)
 
 
@@ -538,51 +549,65 @@ def _dwmo2_kernel(x_hbm, off_ref, mask_ref, g_ref, wt_ref,
         xs_ref[j] = xv_ref[:, j: j + width, :]
 
     g2 = g_ref[0].reshape(tile_h * width, g_ref.shape[-1])
-    for k in range(9):
-        ky, kx = k // 3 - 1, k % 3 - 1
-        u_ref[...] = jnp.dot(g2, wt_ref[k],
+
+    # taps run under lax.fori_loop, NOT a Python unroll: Mosaic compile time
+    # grows superlinearly with unrolled vector-op count (measured on v5e:
+    # dwm 1 pass 5.5 min, doff 2 passes >18 min, 3-pass fused >45 min per
+    # shape), so the tap body is compiled once and every tap-dependent
+    # access (wt_ref[k], off/mask channel, xs window position, output tap
+    # channel) is a dynamic index on an UNTILED dim — dmask/dw/doff keep the
+    # tap axis off the lane dim for exactly this reason (transposed back by
+    # the host wrapper).
+    def tap_body(k, carry):
+        ky = k // 3 - 1
+        kx = k % 3 - 1
+        u_ref[...] = jnp.dot(g2, wt_ref[pl.ds(k, 1)][0],
                              preferred_element_type=jnp.float32).reshape(
             u_ref.shape).astype(u_ref.dtype)
         u32 = u_ref[...].astype(jnp.float32)
-        oy_raw = off_ref[0, 2 * k]
-        ox_raw = off_ref[0, 2 * k + 1]
+        oy_raw = off_ref[0, pl.ds(2 * k, 1)][0]
+        ox_raw = off_ref[0, pl.ds(2 * k + 1, 1)][0]
         oy = jnp.clip(oy_raw, -R, R)
         ox = jnp.clip(ox_raw, -R, R)
-        mk = mask_ref[0, k]
+        mk = mask_ref[0, pl.ds(k, 1)][0]
 
         s_ref[...] = jnp.zeros_like(s_ref)
         sy_ref[...] = jnp.zeros_like(sy_ref)
         sx_ref[...] = jnp.zeros_like(sx_ref)
-        for dy in range(ky - R, ky + R + 1):
-            wy = _hat(oy + (ky - dy))
-            wyd = _dhat(oy + (ky - dy))
+        for e in range(-R, R + 1):          # dy = ky + e
+            wy = _hat(oy - e)
+            wyd = _dhat(oy - e)
             t_ref[...] = jnp.zeros_like(t_ref)
             td_ref[...] = jnp.zeros_like(td_ref)
-            for dx in range(kx - R, kx + R + 1):
-                wx = _hat(ox + (kx - dx))
-                wxd = _dhat(ox + (kx - dx))
-                rows = xs_ref[P + dx, P + dy: P + dy + tile_h, :, :]
+            for f in range(-R, R + 1):      # dx = kx + f
+                wx = _hat(ox - f)
+                wxd = _dhat(ox - f)
+                rows = xs_ref[pl.ds(P + kx + f, 1),
+                              pl.ds(P + ky + e, tile_h), :, :][0]
                 t_ref[...] += rows * wx[:, :, None].astype(compute_dtype)
                 td_ref[...] += rows * wxd[:, :, None].astype(compute_dtype)
             s_ref[...] += t_ref[...] * wy[:, :, None].astype(compute_dtype)
             sx_ref[...] += td_ref[...] * wy[:, :, None].astype(compute_dtype)
             sy_ref[...] += t_ref[...] * wyd[:, :, None].astype(compute_dtype)
 
-        dmask_ref[0, :, :, k] = jnp.sum(
-            s_ref[...].astype(jnp.float32) * u32, axis=-1)
+        dmask_ref[0, pl.ds(k, 1)] = jnp.sum(
+            s_ref[...].astype(jnp.float32) * u32, axis=-1)[None]
         sk = (s_ref[...] * mk[:, :, None].astype(compute_dtype)).reshape(
             tile_h * width, s_ref.shape[-1])
-        dw_ref[0, 0, k] = jax.lax.dot_general(
+        dw_ref[0, 0, pl.ds(k, 1)] = jax.lax.dot_general(
             sk, g2, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32)[None]
         # doffset: derivative samples, gated to zero where the raw offset
         # sits beyond the clamp (matching the clipped forward)
-        doff_ref[0, :, :, 2 * k] = (jnp.sum(
+        doff_ref[0, pl.ds(2 * k, 1)] = (jnp.sum(
             sy_ref[...].astype(jnp.float32) * u32, axis=-1)
-            * mk * (jnp.abs(oy_raw) <= R).astype(jnp.float32))
-        doff_ref[0, :, :, 2 * k + 1] = (jnp.sum(
+            * mk * (jnp.abs(oy_raw) <= R).astype(jnp.float32))[None]
+        doff_ref[0, pl.ds(2 * k + 1, 1)] = (jnp.sum(
             sx_ref[...].astype(jnp.float32) * u32, axis=-1)
-            * mk * (jnp.abs(ox_raw) <= R).astype(jnp.float32))
+            * mk * (jnp.abs(ox_raw) <= R).astype(jnp.float32))[None]
+        return carry
+
+    jax.lax.fori_loop(0, 9, tap_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
@@ -612,14 +637,16 @@ def dcn_pallas_v2_bwd_dwmo(x, offset, mask, weight, g, max_offset: int = 2,
             pl.BlockSpec((9, Co, Cp), lambda b, h: (0, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tile_h, W, 9), lambda b, h: (b, h, 0, 0)),
+            # tap axis on an untiled dim (dynamic per-tap writes from the
+            # fori_loop body); transposed to NHWC below
+            pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
             pl.BlockSpec((1, 1, 9, Cp, Co), lambda b, h: (b, h, 0, 0, 0)),
-            pl.BlockSpec((1, tile_h, W, 18), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, Hp, W, 9), jnp.float32),
+            jax.ShapeDtypeStruct((B, 9, Hp, W), jnp.float32),
             jax.ShapeDtypeStruct((B, n_tiles, 9, Cp, Co), jnp.float32),
-            jax.ShapeDtypeStruct((B, Hp, W, 18), jnp.float32),
+            jax.ShapeDtypeStruct((B, 18, Hp, W), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((win_h, d["wp2f"], Cp), d["compute_dtype"]),
@@ -633,9 +660,9 @@ def dcn_pallas_v2_bwd_dwmo(x, offset, mask, weight, g, max_offset: int = 2,
             pltpu.SemaphoreType.DMA(()),
         ],
     )(xt, off_t, mask_t, gt, w_t)
-    dmask = dmask[:, :H].astype(mask.dtype)
+    dmask = jnp.transpose(dmask, (0, 2, 3, 1))[:, :H].astype(mask.dtype)
     dw = jnp.sum(dw, axis=(0, 1))[:, :C].reshape(3, 3, C, Co).astype(weight.dtype)
-    doff = doff[:, :H].astype(offset.dtype)
+    doff = jnp.transpose(doff, (0, 2, 3, 1))[:, :H].astype(offset.dtype)
     return dmask, dw, doff
 
 
