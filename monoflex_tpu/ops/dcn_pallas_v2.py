@@ -234,10 +234,13 @@ def _dx2_kernel(g_hbm, offh_hbm, maskh_hbm, w_ref, dx_ref,
             for j, f in enumerate(range(-R, R + 1)):   # dx = kx + f
                 # weight-map window rows [8-dy, 8-dy+tile_h) x cols
                 # [P-dx, P-dx+width): dynamic roll to the origin + static
-                # slice (rows are sublanes: dynamic starts are illegal)
+                # slice (rows are sublanes: dynamic starts are illegal).
+                # shifts biased positive by the axis size: pltpu.roll with a
+                # NEGATIVE dynamic shift silently corrupts data on v5e
+                # (probed: positive exact, negative wrong)
                 wm = pltpu.roll(wyh * hxm_ref[j],
-                                shift=(ky + e) - 8, axis=0)
-                wm = pltpu.roll(wm, shift=(kx + f) - P, axis=1)
+                                shift=(ky + e) - 8 + win_h8, axis=0)
+                wm = pltpu.roll(wm, shift=(kx + f) - P + wyh.shape[1], axis=1)
                 wmap_ref[...] = wm[:tile_h, :width]
                 rows = us_ref[pl.ds(P - kx - f, 1),
                               pl.ds(P - ky - e, tile_h)][0]
