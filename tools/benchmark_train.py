@@ -76,11 +76,16 @@ def main():
     jax.block_until_ready(metrics["total_loss"])
 
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     start = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics["total_loss"])
     elapsed = time.perf_counter() - start
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     img_per_s = batch_size * iters / elapsed
     print(json.dumps({
