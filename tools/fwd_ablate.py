@@ -1,0 +1,181 @@
+"""Ablate the v2 DCN forward kernel on real TPU to locate the cost.
+
+Variants at the stride-4 train-mix shape (8,96,320,64)->64:
+  full    — the production kernel (baseline)
+  nomap   — weight maps replaced by a scalar constant: isolates the
+            xs-window FMA + matmul cost (no per-pixel map compute, no
+            (tile_h,W)->(tile_h,W,C) broadcast/relayout)
+  nobcast — maps computed but applied as a scalar (jnp.max reduces the map
+            to a scalar): keeps the hat math, drops the broadcast/relayout
+  hoistwx — production math but the 2R+1 wx maps hoisted out of the dy loop
+            (computed once per tap instead of per (dy,dx))
+
+Usage: python tools/fwd_ablate.py [--shape 96,320,64,64] [--iters 20]
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from monoflex_tpu.ops import dcn_pallas_v2 as V2
+
+
+def _kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
+            s_ref, t_ref, acc_ref, sem, *, tile_h, width, max_offset,
+            compute_dtype, variant):
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(row0, xv_ref.shape[0])], xv_ref, sem)
+    copy.start()
+    copy.wait()
+    for j in range(2 * P + 1):
+        xs_ref[j] = xv_ref[:, j: j + width, :]
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+        oy = jnp.clip(off_ref[0, 2 * k], -R, R)
+        ox = jnp.clip(off_ref[0, 2 * k + 1], -R, R)
+        mk = mask_ref[0, k]
+
+        if variant == "hoistwx":
+            wxs = [V2._hat(ox + (kx - dx)) for dx in range(kx - R, kx + R + 1)]
+
+        s_ref[...] = jnp.zeros_like(s_ref)
+        for dy in range(ky - R, ky + R + 1):
+            t_ref[...] = jnp.zeros_like(t_ref)
+            for i, dx in enumerate(range(kx - R, kx + R + 1)):
+                rows = xs_ref[P + dx, P + dy: P + dy + tile_h, :, :]
+                if variant == "nomap":
+                    t_ref[...] += rows * jnp.asarray(0.5, compute_dtype)
+                elif variant == "nobcast":
+                    wx = V2._hat(ox + (kx - dx))
+                    t_ref[...] += rows * jnp.max(wx).astype(compute_dtype)
+                elif variant == "hoistwx":
+                    t_ref[...] += rows * wxs[i][:, :, None].astype(compute_dtype)
+                else:
+                    wx = V2._hat(ox + (kx - dx))
+                    t_ref[...] += rows * wx[:, :, None].astype(compute_dtype)
+            if variant == "nomap":
+                s_ref[...] += t_ref[...] * jnp.asarray(0.5, compute_dtype)
+            elif variant == "nobcast":
+                wy = V2._hat(oy + (ky - dy)) * mk
+                s_ref[...] += t_ref[...] * jnp.max(wy).astype(compute_dtype)
+            else:
+                wy = V2._hat(oy + (ky - dy)) * mk
+                s_ref[...] += t_ref[...] * wy[:, :, None].astype(compute_dtype)
+
+        sk = s_ref[...].reshape(tile_h * width, s_ref.shape[-1])
+        acc_ref[...] += jnp.dot(sk, w_ref[k],
+                                preferred_element_type=jnp.float32)
+    out_ref[0] = acc_ref[...].reshape(out_ref.shape[1:]).astype(out_ref.dtype)
+
+
+def build_variant(variant, shapes, max_offset=2):
+    B, H, W, C, Co = shapes
+    R = max_offset
+    P = R + 1
+    compute_dtype = jnp.float32
+    tile_h = V2._pick_tile_h(H)
+    pad_h = (-H) % tile_h
+    Hp = H + pad_h
+    win_h = tile_h + 2 * P
+    Cp = C + (-C) % 128
+    wp2f = W + 2 * P
+    wp2f = wp2f + (-wp2f) % 8
+
+    kernel = functools.partial(_kernel, tile_h=tile_h, width=W,
+                               max_offset=R, compute_dtype=compute_dtype,
+                               variant=variant)
+    call = pl.pallas_call(
+        kernel,
+        grid=(B, Hp // tile_h),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((9, Cp, Co), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W, Co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, wp2f, Cp), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, W, Cp), compute_dtype),
+            pltpu.VMEM((tile_h, W, Cp), compute_dtype),
+            pltpu.VMEM((tile_h, W, Cp), compute_dtype),
+            pltpu.VMEM((tile_h * W, Co), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    @jax.jit
+    def fn(x, offset, mask, weight):
+        xt = jnp.pad(x.astype(compute_dtype),
+                     ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, Cp - C)))
+        off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+        mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+        if pad_h:
+            off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+            mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+        w_t = jnp.pad(weight.reshape(9, C, Co).astype(compute_dtype),
+                      ((0, 0), (0, Cp - C), (0, 0)))
+        return call(xt, off_t, mask_t, w_t)[:, :H]
+
+    return fn
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="96,320,64,64")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--variants", default="full,nomap,nobcast,hoistwx")
+    args = ap.parse_args()
+    H, W, C, Co = (int(v) for v in args.shape.split(","))
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(args.batch, H, W, C), jnp.float32)
+    off = jnp.asarray(rng.randn(args.batch, H, W, 18) * 1.5, jnp.float32)
+    mask = jnp.asarray(rng.rand(args.batch, H, W, 9), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, C, Co) * 0.05, jnp.float32)
+
+    for v in args.variants.split(","):
+        fn = build_variant(v, (args.batch, H, W, C, Co))
+        t0 = time.perf_counter()
+        out = fn(x, off, mask, w)
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t0
+        # serial chain timing (guards against async-dispatch artifacts)
+        y = x
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            y = y + 1e-6 * fn(y, off, mask, w)[..., :C]
+        jax.block_until_ready(y)
+        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        print(f"{v:8s} compile {compile_s:6.1f}s  chain {ms:8.3f} ms/call",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
