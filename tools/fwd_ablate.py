@@ -160,20 +160,18 @@ def main():
     mask = jnp.asarray(rng.rand(args.batch, H, W, 9), jnp.float32)
     w = jnp.asarray(rng.randn(3, 3, C, Co) * 0.05, jnp.float32)
 
+    from trace_time import device_time
+
     for v in args.variants.split(","):
         fn = build_variant(v, (args.batch, H, W, C, Co))
         t0 = time.perf_counter()
         out = fn(x, off, mask, w)
         jax.block_until_ready(out)
         compile_s = time.perf_counter() - t0
-        # serial chain timing (guards against async-dispatch artifacts)
-        y = x
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            y = y + 1e-6 * fn(y, off, mask, w)[..., :C]
-        jax.block_until_ready(y)
-        ms = (time.perf_counter() - t0) / args.iters * 1e3
-        print(f"{v:8s} compile {compile_s:6.1f}s  chain {ms:8.3f} ms/call",
+        # wall-clock on this tunnel backend is untrustworthy (see
+        # trace_time.py); report the profiler's device time instead
+        ms, _ = device_time(lambda: fn(x, off, mask, w), iters=args.iters)
+        print(f"{v:8s} compile {compile_s:6.1f}s  device {ms:8.3f} ms/call",
               flush=True)
 
 
