@@ -3,10 +3,9 @@
 For each (variant, shape): forward + the three backward kernels, timed three
 ways to guard against async-dispatch artifacts on the remote-tunnel backend:
   t_loop   — N dispatches, block on the final result (standard)
-  t_chain  — N dispatches where each consumes the previous output (serial
-             data dependency; cannot be elided or deduped)
+  t_device — per-call device time from the profiler trace (trace_time.py)
   t_percall— block_until_ready after every call (includes dispatch latency)
-Report all three; t_chain is the trusted number.
+Report all three; t_device is the trusted number.
 
 Usage: nohup python tools/kernel_sweep.py --variants f32r2,bf16r2,f32r1,bf16r1 \
         --shapes 0,3,7 --out /tmp/ksweep.jsonl > /tmp/ksweep.log 2>&1 &
@@ -35,6 +34,14 @@ from kernel_bench import MODEL_SHAPES, VARIANTS  # noqa: E402
 
 
 def time_three_ways(fn, x0, iters):
+    """Returns (t_loop, t_device, t_percall) in seconds.
+
+    t_device (the trusted number) comes from the profiler trace: wall-clock
+    chains on this tunnel backend have reported times 70x below real device
+    time (tools/trace_time.py).  The loop/percall wall numbers remain for
+    dispatch-overhead context only."""
+    from trace_time import device_time
+
     out = fn(x0)
     jax.block_until_ready(out)
 
@@ -44,20 +51,14 @@ def time_three_ways(fn, x0, iters):
     jax.block_until_ready(out)
     t_loop = (time.perf_counter() - t0) / iters
 
-    # serial chain: each call's input depends on the previous output
-    x = x0
-    fn(x)  # ensure no recompile inside the timed region
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = fn(x)
-    jax.block_until_ready(x)
-    t_chain = (time.perf_counter() - t0) / iters
+    dev_ms, _ = device_time(lambda: fn(x0), iters=iters)
+    t_device = dev_ms / 1e3
 
     t0 = time.perf_counter()
     for _ in range(iters):
         jax.block_until_ready(fn(x0))
     t_percall = (time.perf_counter() - t0) / iters
-    return t_loop, t_chain, t_percall
+    return t_loop, t_device, t_percall
 
 
 def main():
@@ -112,7 +113,7 @@ def main():
                         fn = fns[what]
                         tl, tc, tp = time_three_ways(fn, x0, args.iters)
                         rec.update(ms_loop=round(tl * 1e3, 3),
-                                   ms_chain=round(tc * 1e3, 3),
+                                   ms_device=round(tc * 1e3, 3),
                                    ms_percall=round(tp * 1e3, 3))
                     else:
                         kfn = {"dwm": DB.dcn_pallas_bwd_dwm,
@@ -127,7 +128,7 @@ def main():
                         cfn = jax.jit(chained)
                         tl, tc, tp = time_three_ways(cfn, x0, args.iters)
                         rec.update(ms_loop=round(tl * 1e3, 3),
-                                   ms_chain=round(tc * 1e3, 3),
+                                   ms_device=round(tc * 1e3, 3),
                                    ms_percall=round(tp * 1e3, 3))
                     rec["compile_s"] = round(time.perf_counter() - t0
                                              - 3 * args.iters * (tl + tc + tp) / 3, 1)
