@@ -51,6 +51,36 @@ def _kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
         xs_ref[j] = xv_ref[:, j: j + width, :]
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if variant in ("fori", "foribf16"):
+        # taps under lax.fori_loop (the backward kernels' structure): body
+        # compiled once; window reads become dynamic indices on untiled dims
+        def tap_body(k, carry):
+            ky = k // 3 - 1
+            kx = k % 3 - 1
+            oy = jnp.clip(off_ref[0, pl.ds(2 * k, 1)][0], -R, R)
+            ox = jnp.clip(off_ref[0, pl.ds(2 * k + 1, 1)][0], -R, R)
+            mk = mask_ref[0, pl.ds(k, 1)][0]
+            s_ref[...] = jnp.zeros_like(s_ref)
+            for e in range(-R, R + 1):
+                wy = jnp.maximum(0.0, 1.0 - jnp.abs(oy - e)) * mk
+                t_ref[...] = jnp.zeros_like(t_ref)
+                for f in range(-R, R + 1):
+                    wx = jnp.maximum(0.0, 1.0 - jnp.abs(ox - f))
+                    rows = xs_ref[pl.ds(P + kx + f, 1),
+                                  pl.ds(P + ky + e, tile_h), :, :][0]
+                    t_ref[...] += rows * wx[:, :, None].astype(compute_dtype)
+                s_ref[...] += t_ref[...] * wy[:, :, None].astype(compute_dtype)
+            sk = s_ref[...].reshape(tile_h * width, s_ref.shape[-1])
+            acc_ref[...] += jnp.dot(sk, w_ref[pl.ds(k, 1)][0],
+                                    preferred_element_type=jnp.float32)
+            return carry
+
+        jax.lax.fori_loop(0, 9, tap_body, 0)
+        out_ref[0] = acc_ref[...].reshape(
+            out_ref.shape[1:]).astype(out_ref.dtype)
+        return
+
     for k in range(9):
         ky, kx = k // 3 - 1, k % 3 - 1
         oy = jnp.clip(off_ref[0, 2 * k], -R, R)
@@ -94,7 +124,7 @@ def build_variant(variant, shapes, max_offset=2):
     B, H, W, C, Co = shapes
     R = max_offset
     P = R + 1
-    compute_dtype = jnp.float32
+    compute_dtype = jnp.bfloat16 if variant == "foribf16" else jnp.float32
     tile_h = V2._pick_tile_h(H)
     pad_h = (-H) % tile_h
     Hp = H + pad_h
@@ -106,8 +136,10 @@ def build_variant(variant, shapes, max_offset=2):
     kernel = functools.partial(_kernel, tile_h=tile_h, width=W,
                                max_offset=R, compute_dtype=compute_dtype,
                                variant=variant)
+    interpret = jax.default_backend() != "tpu"
     call = pl.pallas_call(
         kernel,
+        interpret=interpret,
         grid=(B, Hp // tile_h),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
