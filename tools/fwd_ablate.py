@@ -329,7 +329,13 @@ def main():
     from trace_time import device_time
 
     for v in args.variants.split(","):
-        fn = build_variant(v, (args.batch, H, W, C, Co))
+        if v == "packed":
+            fn = build_packed((args.batch, H, W, C, Co))
+        elif v == "packedbf16":
+            fn = build_packed((args.batch, H, W, C, Co),
+                              compute_dtype=jnp.bfloat16)
+        else:
+            fn = build_variant(v, (args.batch, H, W, C, Co))
         t0 = time.perf_counter()
         out = fn(x, off, mask, w)
         jax.block_until_ready(out)
