@@ -230,8 +230,9 @@ _C.TPU.USE_PALLAS_DCN = True      # Pallas deform-conv kernel vs pure-XLA gather
 _C.TPU.DCN_KERNEL_VERSION = 2     # 2 = NHWC-native (measured faster: 51.2
                                   # vs 46.3 img/s), 1 = channels-on-sublanes
 # override the platform-automatic DCN implementation choice
-# ("" = auto; shift | gather | pallas | pallas2 | none) — e.g. force the
-# clamped shift semantics on CPU for offset-clamp ablations
+# ("" = auto; shift | gather | pallas | pallas2 | pallas2p | none) — e.g.
+# force the clamped shift semantics on CPU for offset-clamp ablations;
+# pallas2p lane-packs two pixels per 128-lane tile on C=Co=64 layers
 _C.TPU.DCN_FORCE_IMPL = ""
 # optional per-stage impl (ida_0 deepest, ida_1, ida_2, ida_up); empty =
 # uniform. ("gather","pallas","pallas","pallas") serves imported unbounded

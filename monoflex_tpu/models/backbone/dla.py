@@ -298,16 +298,16 @@ class DCN(nn.Module):
                             (self.kernel, self.kernel, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         simple_geom = (self.stride == 1 and self.dilation == 1 and self.kernel == 3)
-        if self.impl == "pallas2" and simple_geom:
+        if self.impl in ("pallas2", "pallas2p") and simple_geom:
             from ...ops.dcn_pallas_v2 import dcn_pallas_v2_vjp
 
-            # kernel window math stays f32 even under a bf16 model: bf16
-            # windows measured SLOWER on the VPU (the hat-weight maps are f32
-            # and the per-term converts dominate) and the stride-4 shape
-            # overflows VMEM in bf16 (docs/DESIGN.md); downstream BN casts
-            # back to the model dtype
+            # kernel window math stays f32 even under a bf16 model (bf16
+            # windows were not a measured win and the downstream BN casts
+            # back to the model dtype); "pallas2p" additionally lane-packs
+            # two pixels per 128-lane tile on C=Co=64 layers (docs/DESIGN.md)
             return dcn_pallas_v2_vjp(x.astype(jnp.float32), offset, mask,
-                                     weight, bias, self.max_offset)
+                                     weight, bias, self.max_offset,
+                                     self.impl == "pallas2p")
         if self.impl == "pallas" and simple_geom:
             from ...ops.dcn_pallas_bwd import dcn_pallas_vjp
 

@@ -125,3 +125,37 @@ def test_v2_bf16_window_close_to_f32():
     # bf16 has ~3 decimal digits; window sums of ~9*25 terms stay within ~2%
     np.testing.assert_allclose(np.asarray(out_bf), np.asarray(ref),
                                rtol=0.05, atol=0.05)
+
+
+def test_v2_packed_matches_plain():
+    # lane-packed forward (two pixels per 128-lane tile) vs the standard
+    # kernel and the oracle, including a non-divisible height
+    for H in (16, 13):
+        x, off, mask, w, b = make_inputs(seed=3, B=2, H=H, W=32, C=64, Co=64)
+        out = DP2.dcn_pallas_v2_packed(x, off, mask, w, b, max_offset=2)
+        ref = modulated_deform_conv_shift(x, off, mask, w, b, max_offset=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, err_msg=f"H={H}")
+
+
+def test_v2_vjp_packed_dispatch():
+    # packed=True routes eligible shapes through the packed forward and
+    # falls back on ineligible ones; gradients flow through the v2 backward
+    x, off, mask, w, b = make_inputs(seed=4, B=1, H=16, W=16, C=64, Co=64)
+
+    def loss(packed):
+        return jnp.sum(DP2.dcn_pallas_v2_vjp(x, off, mask, w, b, 2, packed))
+
+    np.testing.assert_allclose(float(loss(True)), float(loss(False)),
+                               rtol=1e-5)
+    g_p = jax.grad(lambda xx: jnp.sum(
+        DP2.dcn_pallas_v2_vjp(xx, off, mask, w, b, 2, True)))(x)
+    g_u = jax.grad(lambda xx: jnp.sum(
+        DP2.dcn_pallas_v2_vjp(xx, off, mask, w, b, 2, False)))(x)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_u), atol=1e-4)
+
+    # ineligible channel count silently uses the standard kernel
+    x2, off2, mask2, w2, b2 = make_inputs(seed=5, B=1, H=16, W=16, C=16, Co=8)
+    out = DP2.dcn_pallas_v2_vjp(x2, off2, mask2, w2, b2, 2, True)
+    ref = modulated_deform_conv_shift(x2, off2, mask2, w2, b2, max_offset=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
