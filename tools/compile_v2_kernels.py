@@ -23,6 +23,7 @@ import time
 import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("XLA_PYTHON_CLIENT_MEM_FRACTION", "0.9")
 
 import jax
@@ -52,6 +53,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--max-offset", type=int, default=2)
+    ap.add_argument("--device-time", dest="device_time",
+                    action="store_true",
+                    help="also record profiler-trace device ms per call")
     ap.add_argument("--oracle", action="store_true",
                     help="cross-check vs XLA shift impl at batch 2")
     ap.add_argument("--out", default="/tmp/compile_v2.jsonl")
@@ -84,7 +88,12 @@ def main():
             "doff": lambda: V2.dcn_pallas_v2_bwd_doff(x, off, mask, w, g,
                                                       max_offset=R),
         }
+        if C == 64 and Co == 64 and W % 2 == 0:
+            fns["packed"] = lambda: V2.dcn_pallas_v2_packed(
+                x, off, mask, w, bias, max_offset=R)
         for what in args.what.split(","):
+            if what not in fns:
+                continue
             rec = {"shape": [H, W, C, Co], "kernel": what, "batch": B, "R": R}
             try:
                 t0 = time.perf_counter()
@@ -97,6 +106,11 @@ def main():
                 jax.block_until_ready(out)
                 rec["ms_loop"] = round(
                     (time.perf_counter() - t0) / args.iters * 1e3, 3)
+                if args.device_time:
+                    from trace_time import device_time
+
+                    ms, _ = device_time(fns[what], iters=args.iters)
+                    rec["ms_device"] = round(ms, 3)
             except Exception:  # noqa: BLE001
                 rec["error"] = traceback.format_exc()[-1600:]
             line = json.dumps(rec)
