@@ -813,6 +813,224 @@ def dcn_pallas_v2_bwd_dwmo(x, offset, mask, weight, g, max_offset: int = 2,
     return dmask, dw, doff
 
 
+def _packed_dwmo_kernel(x_hbm, offe_ref, offo_ref, maske_ref, masko_ref,
+                        g_ref, wt_ref,
+                        dmaske_ref, dmasko_ref, dw_ref, doffe_ref, doffo_ref,
+                        xv_ref, xs_ref, u_ref, s_ref, sy_ref, sx_ref, t_ref,
+                        td_ref, sem,
+                        *, tile_h: int, width: int, max_offset: int,
+                        compute_dtype):
+    """Lane-packed single-sweep dmask+dW+doffset (C = Co = 64).
+
+    Same packing as the packed forward (two pixels per 128-lane tile,
+    block-diagonal weights); the per-pixel channel reductions split the
+    lane dim in halves (even pixel = lanes 0..63, odd = 64..127) and write
+    parity-separated outputs that the wrapper re-interleaves.  The packed
+    dW contraction produces a (128,128) block matrix whose diagonal blocks
+    are the even/odd-pixel contributions; the wrapper sums them."""
+    R = max_offset
+    P = R + 1
+    wh = width // 2
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+
+    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(row0, xv_ref.shape[0])],
+                               xv_ref, sem)
+    cp.start()
+    cp.wait()
+    for j in range(2 * P + 1):
+        s = j + 1
+        a = s // 2
+        if s % 2 == 0:
+            xs_ref[j] = xv_ref[:, a: a + wh, :]
+        else:
+            xs_ref[j] = jnp.concatenate(
+                [xv_ref[:, a: a + wh, 64:],
+                 xv_ref[:, a + 1: a + 1 + wh, :64]], axis=-1)
+
+    g2 = g_ref[0].reshape(tile_h * wh, g_ref.shape[-1])
+
+    def tap_body(k, carry):
+        ky = k // 3 - 1
+        kx = k % 3 - 1
+        u_ref[...] = jnp.dot(g2, wt_ref[pl.ds(k, 1)][0],
+                             preferred_element_type=jnp.float32).reshape(
+            u_ref.shape).astype(u_ref.dtype)
+        u32 = u_ref[...].astype(jnp.float32)
+        oye_raw = offe_ref[0, pl.ds(2 * k, 1)][0]
+        oyo_raw = offo_ref[0, pl.ds(2 * k, 1)][0]
+        oxe_raw = offe_ref[0, pl.ds(2 * k + 1, 1)][0]
+        oxo_raw = offo_ref[0, pl.ds(2 * k + 1, 1)][0]
+        oy_e = jnp.clip(oye_raw, -R, R)
+        oy_o = jnp.clip(oyo_raw, -R, R)
+        ox_e = jnp.clip(oxe_raw, -R, R)
+        ox_o = jnp.clip(oxo_raw, -R, R)
+        mk_e = maske_ref[0, pl.ds(k, 1)][0]
+        mk_o = masko_ref[0, pl.ds(k, 1)][0]
+
+        s_ref[...] = jnp.zeros_like(s_ref)
+        sy_ref[...] = jnp.zeros_like(sy_ref)
+        sx_ref[...] = jnp.zeros_like(sx_ref)
+        for e in range(-R, R + 1):
+            wy = jnp.concatenate(
+                [jnp.broadcast_to(_hat(oy_e - e)[:, :, None],
+                                  (tile_h, wh, 64)),
+                 jnp.broadcast_to(_hat(oy_o - e)[:, :, None],
+                                  (tile_h, wh, 64))],
+                axis=-1).astype(compute_dtype)
+            wyd = jnp.concatenate(
+                [jnp.broadcast_to(_dhat(oy_e - e)[:, :, None],
+                                  (tile_h, wh, 64)),
+                 jnp.broadcast_to(_dhat(oy_o - e)[:, :, None],
+                                  (tile_h, wh, 64))],
+                axis=-1).astype(compute_dtype)
+            t_ref[...] = jnp.zeros_like(t_ref)
+            td_ref[...] = jnp.zeros_like(td_ref)
+            for f in range(-R, R + 1):
+                wx = jnp.concatenate(
+                    [jnp.broadcast_to(_hat(ox_e - f)[:, :, None],
+                                      (tile_h, wh, 64)),
+                     jnp.broadcast_to(_hat(ox_o - f)[:, :, None],
+                                      (tile_h, wh, 64))],
+                    axis=-1).astype(compute_dtype)
+                wxd = jnp.concatenate(
+                    [jnp.broadcast_to(_dhat(ox_e - f)[:, :, None],
+                                      (tile_h, wh, 64)),
+                     jnp.broadcast_to(_dhat(ox_o - f)[:, :, None],
+                                      (tile_h, wh, 64))],
+                    axis=-1).astype(compute_dtype)
+                rows = xs_ref[pl.ds(P + kx + f, 1),
+                              pl.ds(P + ky + e, tile_h), :, :][0]
+                t_ref[...] += rows * wx
+                td_ref[...] += rows * wxd
+            s_ref[...] += t_ref[...] * wy
+            sx_ref[...] += td_ref[...] * wy
+            sy_ref[...] += t_ref[...] * wyd
+
+        s32 = s_ref[...].astype(jnp.float32) * u32
+        dmaske_ref[0, pl.ds(k, 1)] = jnp.sum(s32[..., :64], axis=-1)[None]
+        dmasko_ref[0, pl.ds(k, 1)] = jnp.sum(s32[..., 64:], axis=-1)[None]
+        mk = jnp.concatenate(
+            [jnp.broadcast_to(mk_e[:, :, None], (tile_h, wh, 64)),
+             jnp.broadcast_to(mk_o[:, :, None], (tile_h, wh, 64))],
+            axis=-1).astype(compute_dtype)
+        sk = (s_ref[...] * mk).reshape(tile_h * wh, s_ref.shape[-1])
+        dw_ref[0, 0, pl.ds(k, 1)] = jax.lax.dot_general(
+            sk, g2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)[None]
+        sy32 = sy_ref[...].astype(jnp.float32) * u32
+        sx32 = sx_ref[...].astype(jnp.float32) * u32
+        doffe_ref[0, pl.ds(2 * k, 1)] = (
+            jnp.sum(sy32[..., :64], axis=-1) * mk_e
+            * (jnp.abs(oye_raw) <= R).astype(jnp.float32))[None]
+        doffo_ref[0, pl.ds(2 * k, 1)] = (
+            jnp.sum(sy32[..., 64:], axis=-1) * mk_o
+            * (jnp.abs(oyo_raw) <= R).astype(jnp.float32))[None]
+        doffe_ref[0, pl.ds(2 * k + 1, 1)] = (
+            jnp.sum(sx32[..., :64], axis=-1) * mk_e
+            * (jnp.abs(oxe_raw) <= R).astype(jnp.float32))[None]
+        doffo_ref[0, pl.ds(2 * k + 1, 1)] = (
+            jnp.sum(sx32[..., 64:], axis=-1) * mk_o
+            * (jnp.abs(oxo_raw) <= R).astype(jnp.float32))[None]
+        return carry
+
+    jax.lax.fori_loop(0, 9, tap_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_v2_packed_bwd_dwmo(x, offset, mask, weight, g,
+                                  max_offset: int = 2, compute_dtype=None):
+    """Lane-packed fused mask/weight/offset gradients (C = Co = 64)."""
+    B, H, W, C = x.shape
+    Co = weight.shape[-1]
+    assert C == 64 and Co == 64 and W % 2 == 0, (C, Co, W)
+    R = max_offset
+    P = R + 1
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    tile_h = _pick_tile_h(H)
+    pad_h = (-H) % tile_h
+    Hp = H + pad_h
+    win_h = tile_h + 2 * P
+    wh = W // 2
+    np_pairs = (W + 8) // 2
+    n_tiles = Hp // tile_h
+
+    xt = jnp.pad(x.astype(compute_dtype),
+                 ((0, 0), (P, P + pad_h), (4, 4), (0, 0)))
+    xp = xt.reshape(B, Hp + 2 * P, np_pairs, 128)
+    off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+    mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+    gt = g.astype(compute_dtype)
+    if pad_h:
+        off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+        mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+        gt = jnp.pad(gt, ((0, 0), (0, pad_h), (0, 0), (0, 0)))
+    offe, offo = off_t[..., 0::2], off_t[..., 1::2]
+    maske, masko = mask_t[..., 0::2], mask_t[..., 1::2]
+    gp = gt.reshape(B, Hp, wh, 128)
+    wkT = jnp.transpose(weight.reshape(9, C, Co),
+                        (0, 2, 1)).astype(compute_dtype)
+    wtblk = jnp.zeros((9, 128, 128), compute_dtype)
+    wtblk = wtblk.at[:, :64, :64].set(wkT).at[:, 64:, 64:].set(wkT)
+
+    kernel = functools.partial(_packed_dwmo_kernel, tile_h=tile_h, width=W,
+                               max_offset=max_offset,
+                               compute_dtype=compute_dtype)
+    dme, dmo, dw, dfe, dfo = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 18, tile_h, wh), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 18, tile_h, wh), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, wh), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, wh), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, tile_h, wh, 128), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((9, 128, 128), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 9, tile_h, wh), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, wh), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 1, 9, 128, 128), lambda b, h: (b, h, 0, 0, 0)),
+            pl.BlockSpec((1, 18, tile_h, wh), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 18, tile_h, wh), lambda b, h: (b, 0, h, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 9, Hp, wh), jnp.float32),
+            jax.ShapeDtypeStruct((B, 9, Hp, wh), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, 9, 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, 18, Hp, wh), jnp.float32),
+            jax.ShapeDtypeStruct((B, 18, Hp, wh), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((win_h, np_pairs, 128), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, wh, 128), compute_dtype),
+            pltpu.VMEM((tile_h, wh, 128), compute_dtype),   # u
+            pltpu.VMEM((tile_h, wh, 128), compute_dtype),   # s
+            pltpu.VMEM((tile_h, wh, 128), compute_dtype),   # sy
+            pltpu.VMEM((tile_h, wh, 128), compute_dtype),   # sx
+            pltpu.VMEM((tile_h, wh, 128), compute_dtype),   # t
+            pltpu.VMEM((tile_h, wh, 128), compute_dtype),   # td
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(xp, offe, offo, maske, masko, gp, wtblk)
+
+    def interleave(ch, a, bb):
+        # (B, ch, Hp, wh) x2 -> NHWC (B, H, W, ch)
+        v = jnp.stack([a, bb], axis=-1).reshape(B, ch, Hp, W)
+        return jnp.transpose(v, (0, 2, 3, 1))[:, :H]
+
+    dmask = interleave(9, dme, dmo).astype(mask.dtype)
+    doff = interleave(18, dfe, dfo).astype(offset.dtype)
+    dwb = jnp.sum(dw, axis=(0, 1))
+    dwk = (dwb[:, :64, :64] + dwb[:, 64:, 64:]).reshape(3, 3, C, Co)
+    return dmask, dwk.astype(weight.dtype), doff
+
+
 def _prep2(x, offset, mask, weight, g, max_offset, compute_dtype):
     """Shared operand prep for the v2 dwm/doff kernels (NHWC halos for x,
     compact transposed offset/mask, NHWC g tiles, both weight forms)."""
@@ -850,7 +1068,8 @@ def _prep2(x, offset, mask, weight, g, max_offset, compute_dtype):
 
 
 def dcn_pallas_v2_bwd(x, offset, mask, weight, g, max_offset: int = 2,
-                      compute_dtype=None, fused: bool = True):
+                      compute_dtype=None, fused: bool = True,
+                      packed: bool = False):
     """All five gradients via the v2 kernels (two when fused, else three).
 
     fused=True runs the SINGLE-SWEEP dwmo kernel (S/SY/SX accumulated in one
@@ -858,11 +1077,17 @@ def dcn_pallas_v2_bwd(x, offset, mask, weight, g, max_offset: int = 2,
     count: the old three-pass fused kernel took >45 min per shape and the
     split doff kernel (two passes) >18 min, while single-sweep dwmo carries
     the fewest ops of any arrangement.  The split dwm/doff pair remains for
-    comparison/debug."""
+    comparison/debug.  packed=True lane-packs the dwmo sweep on eligible
+    (C = Co = 64, even W) shapes."""
+    C, Co, W = x.shape[-1], weight.shape[-1], x.shape[2]
     dx = dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g,
                               max_offset=max_offset,
                               compute_dtype=compute_dtype)
-    if fused:
+    if packed and C == 64 and Co == 64 and W % 2 == 0:
+        dmask, dw, doff = dcn_pallas_v2_packed_bwd_dwmo(
+            x, offset, mask, weight, g, max_offset=max_offset,
+            compute_dtype=compute_dtype)
+    elif fused:
         dmask, dw, doff = dcn_pallas_v2_bwd_dwmo(
             x, offset, mask, weight, g, max_offset=max_offset,
             compute_dtype=compute_dtype)
@@ -901,7 +1126,7 @@ def _fwd(x, offset, mask, weight, bias, max_offset, packed):
 def _bwd(max_offset, packed, residuals, g):
     x, offset, mask, weight = residuals
     return dcn_pallas_v2_bwd(x, offset, mask, weight, g,
-                             max_offset=max_offset)
+                             max_offset=max_offset, packed=packed)
 
 
 dcn_pallas_v2_vjp.defvjp(_fwd, _bwd)

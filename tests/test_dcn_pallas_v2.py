@@ -159,3 +159,14 @@ def test_v2_vjp_packed_dispatch():
     out = DP2.dcn_pallas_v2_vjp(x2, off2, mask2, w2, b2, 2, True)
     ref = modulated_deform_conv_shift(x2, off2, mask2, w2, b2, max_offset=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_v2_packed_bwd_dwmo_matches_plain():
+    # lane-packed single-sweep backward vs the standard dwmo kernel
+    x, off, mask, w, _ = make_inputs(seed=6, B=2, H=13, W=32, C=64, Co=64)
+    g = jnp.asarray(np.random.RandomState(7).randn(2, 13, 32, 64), jnp.float32)
+    ref = DP2.dcn_pallas_v2_bwd_dwmo(x, off, mask, w, g, max_offset=2)
+    got = DP2.dcn_pallas_v2_packed_bwd_dwmo(x, off, mask, w, g, max_offset=2)
+    for name, r, t in zip(("dmask", "dw", "doff"), ref, got):
+        np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=1e-3,
+                                   err_msg=name)
