@@ -91,6 +91,8 @@ def main():
         if C == 64 and Co == 64 and W % 2 == 0:
             fns["packed"] = lambda: V2.dcn_pallas_v2_packed(
                 x, off, mask, w, bias, max_offset=R)
+            fns["dwmop"] = lambda: V2.dcn_pallas_v2_packed_bwd_dwmo(
+                x, off, mask, w, g, max_offset=R)
         for what in args.what.split(","):
             if what not in fns:
                 continue
