@@ -408,10 +408,10 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
     P = R + 1
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
-    # dx runs a 8-row tile on the big maps (vs 16 elsewhere): its unrolled
-    # (2R+1)^2 inner loop is the scoped-VMEM stack peak, and the stack scales
-    # with the per-iteration map size
-    tile_h = 8 if H > 32 else _pick_tile_h(H)
+    # 16-row tiles: the 8-row tile only existed to cap the unrolled loop's
+    # register spills, which the fori-loop tap dispatch eliminated; the
+    # larger tile amortizes the halo DMA and the per-tap u matmul rows
+    tile_h = _pick_tile_h(H)
     pad_h = (-H) % tile_h
     Hp = H + pad_h
     win_h = tile_h + 2 * P
