@@ -257,10 +257,13 @@ def dcn_pallas_v2_packed(x, offset, mask, weight,
     Hp = H + pad_h
     win_h = tile_h + 2 * P
     wh = W // 2
-    np_pairs = (W + 8) // 2               # left pad 4 + right pad 4
+    # pair count padded to a multiple of 8: the packed halo's second-minor
+    # dim is manually DMA'd and must be sublane-tile aligned
+    np_pairs = ((W + 8) // 2 + 7) // 8 * 8
+    right = np_pairs * 2 - W - 4
 
     xt = jnp.pad(x.astype(compute_dtype),
-                 ((0, 0), (P, P + pad_h), (4, 4), (0, 0)))
+                 ((0, 0), (P, P + pad_h), (4, right), (0, 0)))
     xp = xt.reshape(B, Hp + 2 * P, np_pairs, 128)
     off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
     mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
@@ -471,6 +474,175 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
         ],
     )(gt, off_t, mask_t, w_t)
     return out[:, :H].astype(x.dtype)
+
+
+def _packed_dx_kernel(g_hbm, offe_hbm, offo_hbm, maske_hbm, masko_hbm, w_ref,
+                      dx_ref, gv_ref, uv_ref, us_ref, offe_ref, offo_ref,
+                      maske_ref, masko_ref, wmap_ref, acc_ref, sem,
+                      *, tile_h: int, width: int, max_offset: int,
+                      compute_dtype):
+    """Lane-packed dx (C = Co = 64): two output pixels per 128-lane tile.
+
+    Taps iterate fori over tap ROWS (ky dynamic -> dynamic positive row
+    rolls on the compact maps, as in the unpacked kernel) with tap COLUMNS
+    statically unrolled: the packed column slice start and the source-pixel
+    parity assignment depend on kx + f and must be static.  The parity-split
+    offset/mask halos (even/odd source columns) let each output parity read
+    its per-pixel weight map with a static lane slice."""
+    R = max_offset
+    P = R + 1
+    wh = width // 2
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+    win_h = gv_ref.shape[0]
+    pairs = gv_ref.shape[1]
+    win_h8 = offe_ref.shape[1]
+
+    for src, dst in ((g_hbm, gv_ref), (offe_hbm, offe_ref),
+                     (offo_hbm, offo_ref), (maske_hbm, maske_ref),
+                     (masko_hbm, masko_ref)):
+        cp = pltpu.make_async_copy(src.at[b, pl.ds(row0, win_h)]
+                                   if src is g_hbm else
+                                   src.at[b, :, pl.ds(row0, win_h8), :],
+                                   dst, sem)
+        cp.start()
+        cp.wait()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    gk = gv_ref[...].reshape(win_h * pairs, gv_ref.shape[-1])
+
+    def row_body(krow, carry):
+        ky = krow - 1
+        for kxi, kx in enumerate(((-1), 0, 1)):
+            k = krow * 3 + kxi
+            uv_ref[...] = jnp.dot(gk, w_ref[pl.ds(k, 1)][0],
+                                  preferred_element_type=jnp.float32).reshape(
+                uv_ref.shape).astype(uv_ref.dtype)
+            for j in range(2 * P + 1):
+                s = j + 1
+                a = s // 2
+                if s % 2 == 0:
+                    us_ref[j] = uv_ref[:, a: a + wh, :]
+                else:
+                    us_ref[j] = jnp.concatenate(
+                        [uv_ref[:, a: a + wh, 64:],
+                         uv_ref[:, a + 1: a + 1 + wh, :64]], axis=-1)
+
+            oy_e = jnp.clip(offe_ref[pl.ds(2 * k, 1)][0], -R, R)
+            oy_o = jnp.clip(offo_ref[pl.ds(2 * k, 1)][0], -R, R)
+            ox_e = jnp.clip(offe_ref[pl.ds(2 * k + 1, 1)][0], -R, R)
+            ox_o = jnp.clip(offo_ref[pl.ds(2 * k + 1, 1)][0], -R, R)
+            mh_e = maske_ref[pl.ds(k, 1)][0]
+            mh_o = masko_ref[pl.ds(k, 1)][0]
+
+            for e in range(-R, R + 1):
+                wy_e = _hat(oy_e - e)
+                wy_o = _hat(oy_o - e)
+                rowshift = (ky + e) - 8 + win_h8   # positive dynamic roll
+                for f in range(-R, R + 1):
+                    dxs = kx + f                   # static column shift
+                    s0 = 4 - dxs                   # even-output source col
+                    p0 = s0 % 2
+                    a0 = (s0 - p0) // 2
+                    s1 = s0 + 1
+                    p1 = s1 % 2
+                    a1 = (s1 - p1) // 2
+                    hx_e = _hat(ox_e - f) * mh_e
+                    hx_o = _hat(ox_o - f) * mh_o
+                    prod_e = wy_e * hx_e           # even-PARITY source map
+                    prod_o = wy_o * hx_o
+                    m0 = prod_e if p0 == 0 else prod_o
+                    m1 = prod_e if p1 == 0 else prod_o
+                    w0 = pltpu.roll(m0, shift=rowshift, axis=0)[
+                        :tile_h, a0: a0 + wh]
+                    w1 = pltpu.roll(m1, shift=rowshift, axis=0)[
+                        :tile_h, a1: a1 + wh]
+                    wmap_ref[...] = jnp.concatenate(
+                        [jnp.broadcast_to(w0[:, :, None], (tile_h, wh, 64)),
+                         jnp.broadcast_to(w1[:, :, None], (tile_h, wh, 64))],
+                        axis=-1)
+                    rows = us_ref[pl.ds(P - dxs, 1),
+                                  pl.ds(P - ky - e, tile_h)][0]
+                    acc_ref[...] += rows * wmap_ref[...].astype(compute_dtype)
+        return carry
+
+    jax.lax.fori_loop(0, 3, row_body, 0)
+    dx_ref[0] = acc_ref[...].astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_v2_packed_bwd_dx(x, offset, mask, weight, g,
+                                max_offset: int = 2, compute_dtype=None):
+    """Lane-packed gradient w.r.t. x (C = Co = 64, even W)."""
+    B, H, W, C = x.shape
+    Co = weight.shape[-1]
+    assert C == 64 and Co == 64 and W % 2 == 0, (C, Co, W)
+    R = max_offset
+    P = R + 1
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    tile_h = _pick_tile_h(H)
+    pad_h = (-H) % tile_h
+    Hp = H + pad_h
+    win_h = tile_h + 2 * P
+    wh = W // 2
+    pairs = ((W + 8) // 2 + 7) // 8 * 8      # g halo pairs, 8-aligned
+    gright = pairs * 2 - W - 4
+    whp = wh + 4                             # parity-split map halo width
+    whp128 = whp + (-whp) % 128              # DMA minor-dim alignment
+
+    gt = jnp.pad(g.astype(compute_dtype),
+                 ((0, 0), (P, P + pad_h), (4, gright), (0, 0)))
+    gp = gt.reshape(B, Hp + 2 * P, pairs, 128)
+    # parity-split compact halos with 8-row guard bands; source-pixel column
+    # m sits at split col m//2 of the (m%2) map, with the same left pad 4
+    off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+    mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (8, 8 + pad_h), (4, 4)))
+    mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (8, 8 + pad_h), (4, 4)))
+    offe = jnp.pad(off_t[..., 0::2], ((0, 0),) * 3 + ((0, whp128 - whp),))
+    offo = jnp.pad(off_t[..., 1::2], ((0, 0),) * 3 + ((0, whp128 - whp),))
+    maske = jnp.pad(mask_t[..., 0::2], ((0, 0),) * 3 + ((0, whp128 - whp),))
+    masko = jnp.pad(mask_t[..., 1::2], ((0, 0),) * 3 + ((0, whp128 - whp),))
+    wkT = jnp.transpose(weight.reshape(9, C, Co),
+                        (0, 2, 1)).astype(compute_dtype)
+    wtblk = jnp.zeros((9, 128, 128), compute_dtype)
+    wtblk = wtblk.at[:, :64, :64].set(wkT).at[:, 64:, 64:].set(wkT)
+
+    kernel = functools.partial(_packed_dx_kernel, tile_h=tile_h, width=W,
+                               max_offset=max_offset,
+                               compute_dtype=compute_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hp // tile_h),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, 128, 128), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, wh, 128),
+                               lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, wh, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, pairs, 128), compute_dtype),
+            pltpu.VMEM((win_h, pairs, 128), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, wh, 128), compute_dtype),
+            pltpu.VMEM((18, tile_h + 16, whp128), jnp.float32),
+            pltpu.VMEM((18, tile_h + 16, whp128), jnp.float32),
+            pltpu.VMEM((9, tile_h + 16, whp128), jnp.float32),
+            pltpu.VMEM((9, tile_h + 16, whp128), jnp.float32),
+            pltpu.VMEM((tile_h, wh, 128), jnp.float32),
+            pltpu.VMEM((tile_h, wh, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(gp, offe, offo, maske, masko, wtblk)
+    return out.reshape(B, Hp, W, C)[:, :H].astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -953,11 +1125,12 @@ def dcn_pallas_v2_packed_bwd_dwmo(x, offset, mask, weight, g,
     Hp = H + pad_h
     win_h = tile_h + 2 * P
     wh = W // 2
-    np_pairs = (W + 8) // 2
+    np_pairs = ((W + 8) // 2 + 7) // 8 * 8
+    right = np_pairs * 2 - W - 4
     n_tiles = Hp // tile_h
 
     xt = jnp.pad(x.astype(compute_dtype),
-                 ((0, 0), (P, P + pad_h), (4, 4), (0, 0)))
+                 ((0, 0), (P, P + pad_h), (4, right), (0, 0)))
     xp = xt.reshape(B, Hp + 2 * P, np_pairs, 128)
     off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
     mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
@@ -1080,9 +1253,14 @@ def dcn_pallas_v2_bwd(x, offset, mask, weight, g, max_offset: int = 2,
     comparison/debug.  packed=True lane-packs the dwmo sweep on eligible
     (C = Co = 64, even W) shapes."""
     C, Co, W = x.shape[-1], weight.shape[-1], x.shape[2]
-    dx = dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g,
-                              max_offset=max_offset,
-                              compute_dtype=compute_dtype)
+    if packed and C == 64 and Co == 64 and W % 2 == 0:
+        dx = dcn_pallas_v2_packed_bwd_dx(x, offset, mask, weight, g,
+                                         max_offset=max_offset,
+                                         compute_dtype=compute_dtype)
+    else:
+        dx = dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g,
+                                  max_offset=max_offset,
+                                  compute_dtype=compute_dtype)
     if packed and C == 64 and Co == 64 and W % 2 == 0:
         dmask, dw, doff = dcn_pallas_v2_packed_bwd_dwmo(
             x, offset, mask, weight, g, max_offset=max_offset,

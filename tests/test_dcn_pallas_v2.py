@@ -170,3 +170,12 @@ def test_v2_packed_bwd_dwmo_matches_plain():
     for name, r, t in zip(("dmask", "dw", "doff"), ref, got):
         np.testing.assert_allclose(np.asarray(t), np.asarray(r), atol=1e-3,
                                    err_msg=name)
+
+
+def test_v2_packed_bwd_dx_matches_plain():
+    # lane-packed dx vs the standard dx kernel
+    x, off, mask, w, _ = make_inputs(seed=8, B=2, H=13, W=32, C=64, Co=64)
+    g = jnp.asarray(np.random.RandomState(9).randn(2, 13, 32, 64), jnp.float32)
+    ref = DP2.dcn_pallas_v2_bwd_dx(x, off, mask, w, g, max_offset=2)
+    got = DP2.dcn_pallas_v2_packed_bwd_dx(x, off, mask, w, g, max_offset=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)

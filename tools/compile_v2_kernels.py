@@ -93,6 +93,8 @@ def main():
                 x, off, mask, w, bias, max_offset=R)
             fns["dwmop"] = lambda: V2.dcn_pallas_v2_packed_bwd_dwmo(
                 x, off, mask, w, g, max_offset=R)
+            fns["dxp"] = lambda: V2.dcn_pallas_v2_packed_bwd_dx(
+                x, off, mask, w, g, max_offset=R)
         for what in args.what.split(","):
             if what not in fns:
                 continue
