@@ -26,7 +26,32 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 V100_BASELINE_IMG_PER_S = 33.0
 
 
+def _device_watchdog(seconds: int = 180):
+    """Fail fast instead of hanging forever when the TPU tunnel is wedged
+    (observed: execution hangs indefinitely after a tunnel fault while
+    registration still succeeds).  A tiny device op must complete within
+    `seconds`; otherwise print a JSON error line and hard-exit."""
+    import threading
+
+    done = threading.Event()
+
+    def killer():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "inference_images_per_sec_per_chip",
+                "value": None, "unit": "img/s", "vs_baseline": None,
+                "error": f"device probe hung >{seconds}s (TPU tunnel down)",
+            }), flush=True)
+            os._exit(3)
+
+    t = threading.Thread(target=killer, daemon=True)
+    t.start()
+    jax.block_until_ready(jnp.ones((8, 8)) + 1.0)
+    done.set()
+
+
 def main():
+    _device_watchdog()
     from monoflex_tpu.config import get_cfg_defaults
     from monoflex_tpu.data.synthetic import make_dummy_batch
     from monoflex_tpu.decode.postprocessor import PostProcessor
