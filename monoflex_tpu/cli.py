@@ -70,9 +70,26 @@ def main():
     checkpointer = Checkpointer(os.path.join(cfg.OUTPUT_DIR, "ckpt"),
                                 cfg.SOLVER.LOAD_OPTIMIZER_SCHEDULER)
     ckpt_path = cfg.MODEL.WEIGHT or None
+    restored = bool(ckpt_path) or checkpointer.has_checkpoint()
     state, start_iter = checkpointer.load(state, ckpt_path)
     if start_iter:
         logger.info(f"resumed from iteration {start_iter}")
+
+    if restored and cfg.TPU.DCN_OFFSET_GUARD != "off":
+        # imported weights + bounded-window DCN kernels are a measured AP-0
+        # footgun; scan the learned offsets and warn / auto-reroute
+        from .utils.dcn_guard import dcn_offset_guard
+
+        fired, suggestion, _ = dcn_offset_guard(
+            cfg, {"params": state.params, "batch_stats": state.batch_stats},
+            sample, logger=logger)
+        if fired and suggestion is not None:
+            logger.warning("DCN offset guard (auto): rebuilding model with "
+                           f"TPU.DCN_IMPL_PER_STAGE={list(suggestion)}")
+            cfg.defrost()
+            cfg.TPU.DCN_IMPL_PER_STAGE = suggestion
+            cfg.freeze()
+            model = build_model(cfg)
 
     mesh = make_mesh(args.num_chips)
     state = jax.device_put(state, replicated(mesh))

@@ -244,6 +244,12 @@ _C.TPU.DCN_MAX_OFFSET = 2         # learned-offset clamp for the shift/Pallas DC
 # empty = uniform DCN_MAX_OFFSET.  Offset-stats (docs/DESIGN.md) motivate a
 # wider window on the coarse stages, e.g. (8, 4, 2, 2)
 _C.TPU.DCN_MAX_OFFSET_PER_STAGE = ()
+# checkpoint-import safety: after a restore, scan learned |offset| stats and
+# flag bounded-impl stages the clamp would saturate (utils/dcn_guard.py).
+# "warn" logs the per-stage table + suggested fix; "auto" additionally
+# switches the saturating stages to the unbounded gather impl; "off" skips
+_C.TPU.DCN_OFFSET_GUARD = "warn"
+_C.TPU.DCN_GUARD_THRESHOLD = 0.05  # frac of |offset|>R that counts as saturating
 _C.TPU.REMAT_BACKBONE = False     # jax.checkpoint on backbone stages
 _C.TPU.DONATE_STATE = True
 

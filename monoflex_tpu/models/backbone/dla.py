@@ -510,6 +510,26 @@ def default_dcn_impl(use_pallas: bool = True, kernel_version: int = 1) -> str:
     return "gather"
 
 
+N_DCN_STAGES = 4  # ida_0 (deepest merge), ida_1, ida_2, final ida_up
+
+
+def resolve_dcn_stages(cfg):
+    """The (impls, max_offsets) each of the 4 neck stages will actually use,
+    after DCN_FORCE_IMPL / DCN_IMPL_PER_STAGE / platform defaults resolve."""
+    body = cfg.MODEL.BACKBONE.CONV_BODY
+    if body == "dla34_nodcn" or body.startswith("dlav0"):
+        impl = "none"
+    else:
+        impl = (cfg.TPU.DCN_FORCE_IMPL
+                or default_dcn_impl(cfg.TPU.USE_PALLAS_DCN,
+                                    cfg.TPU.DCN_KERNEL_VERSION))
+    impls = (tuple(cfg.TPU.DCN_IMPL_PER_STAGE)
+             or (impl,) * N_DCN_STAGES)
+    rs = (tuple(cfg.TPU.DCN_MAX_OFFSET_PER_STAGE)
+          or (cfg.TPU.DCN_MAX_OFFSET,) * N_DCN_STAGES)
+    return impls, rs
+
+
 def build_backbone(cfg):
     body = cfg.MODEL.BACKBONE.CONV_BODY
     dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
