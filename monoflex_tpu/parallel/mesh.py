@@ -36,6 +36,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh, axis: str = "data") -> Dict:
-    """Device-put a host batch with its leading axis sharded over the mesh."""
+    """Shard a host batch's leading axis over the mesh.
+
+    Single-process: a plain sharded device_put.  Multi-process: each process
+    holds only ITS loader shard (rank-strided sampler), so the global array is
+    assembled from process-local data — device_put would misread the local
+    batch as the whole global array (caught by tests/test_multiprocess.py's
+    GSPMD train-step parity check)."""
     sharding = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        batch)

@@ -67,6 +67,28 @@ def one_cycle_schedule(base_lr: float, total_steps: int, div_factor: float = 10.
     return schedule
 
 
+def one_cycle_momentum(total_steps: int, moms: Sequence[float] = (0.95, 0.85),
+                       pct_start: float = 0.4) -> Callable:
+    """fastai OneCycle momentum: b1 runs inverse to the LR — moms[0] ->
+    moms[1] over the rising-LR phase, back to moms[0] over the rest
+    (reference: solver/learning_schedules_fastai.py:60-79, OptimWrapper.mom)."""
+    up = max(1, int(total_steps * pct_start))
+    down = max(1, total_steps - up)
+    hi, lo = float(moms[0]), float(moms[1])
+
+    def cos_interp(a, b, t):
+        return b + (a - b) * 0.5 * (1 + jnp.cos(math.pi * t))
+
+    def schedule(step):
+        step = jnp.asarray(step, dtype=jnp.float32)
+        t_up = jnp.clip(step / up, 0.0, 1.0)
+        t_down = jnp.clip((step - up) / down, 0.0, 1.0)
+        return jnp.where(step < up, cos_interp(hi, lo, t_up),
+                         cos_interp(lo, hi, t_down))
+
+    return schedule
+
+
 def _bias_mask(params) -> dict:
     return jax.tree_util.tree_map_with_path(
         lambda path, _: any(getattr(k, "key", None) == "bias" for k in path), params)
@@ -95,7 +117,19 @@ def build_optimizer(cfg, params, steps_per_epoch: int = 1):
 
     bias_mask = _bias_mask(params)
 
-    if name in ("adamw", "adam_onecycle"):
+    if name == "adam_onecycle":
+        # fastai OptimWrapper semantics (reference: solver/fastai_optim.py:
+        # 101-233 + solver/__init__.py:55-58): true (decoupled) weight decay
+        # on ALL params (true_wd=True, bn_wd=True -> plain adamw, no mask)
+        # and momentum cycled inversely to the LR per SOLVER.MOMS.  The
+        # FastAIMixedOptim fp16-master-weights machinery is inherent here:
+        # params stay f32 (TPU.PARAM_DTYPE) while compute may be bf16.
+        mom = one_cycle_momentum(s.MAX_ITERATION, s.MOMS, s.PCT_START)
+        base = optax.inject_hyperparams(
+            lambda learning_rate, b1: optax.adamw(
+                learning_rate, b1=b1, b2=0.99, weight_decay=s.WEIGHT_DECAY)
+        )(learning_rate=schedule, b1=mom)
+    elif name == "adamw":
         base = optax.adamw(learning_rate=schedule, b1=0.9, b2=0.99,
                            weight_decay=s.WEIGHT_DECAY)
     elif name == "adam":

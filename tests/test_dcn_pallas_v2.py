@@ -15,6 +15,9 @@ import monoflex_tpu.ops.dcn_pallas_bwd as DB
 import monoflex_tpu.ops.dcn_pallas_v2 as DP2
 from monoflex_tpu.ops.dcn import modulated_deform_conv_shift
 
+pytestmark = pytest.mark.slow  # heavy integration: skip via -m 'not slow'
+
+
 
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):

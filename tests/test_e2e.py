@@ -23,6 +23,9 @@ from monoflex_tpu.train.train_step import (TrainState, make_eval_step,
                                            make_train_step)
 from synthetic_kitti import make_synthetic_kitti
 
+pytestmark = pytest.mark.slow  # heavy integration: skip via -m 'not slow'
+
+
 RUN_YAML = os.path.join(os.path.dirname(__file__), "..", "runs", "monoflex.yaml")
 
 

@@ -16,6 +16,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy integration: skip via -m 'not slow'
+
 WORKER = r"""
 import os, sys
 sys.path.insert(0, {repo!r})
@@ -60,7 +62,7 @@ def _run_workers(tmp_path, repo):
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               env=env, text=True)
              for i in range(2)]
-    return procs, [p.communicate(timeout=540)[0] for p in procs]
+    return procs, [p.communicate(timeout=1500)[0] for p in procs]
 
 
 def test_two_process_rank_gated_writes(tmp_path):
@@ -90,3 +92,138 @@ def test_two_process_rank_gated_writes(tmp_path):
     assert '"loss": 0.0' in lines[0]
     assert os.path.isdir(os.path.join(str(tmp_path), "ckpt", "model_x"))
     assert os.path.exists(os.path.join(str(tmp_path), "ckpt", "last_checkpoint"))
+
+
+# --- GSPMD train-step parity: 2 processes x 2 devices == 1 process x 4 ------
+
+GSPMD_WORKER = r"""
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+# persistent cache: the train-step CPU compile is minutes; warm re-runs
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join({repo!r}, ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.distributed.initialize(coordinator_address={coord!r},
+                           num_processes=2,
+                           process_id=int(sys.argv[1]))
+assert jax.process_count() == 2 and jax.device_count() == 4, (
+    jax.process_count(), jax.device_count())
+
+import jax.numpy as jnp
+from monoflex_tpu.config import get_cfg_defaults
+from monoflex_tpu.data.synthetic import make_dummy_batch
+from monoflex_tpu.losses.loss_computation import LossComputer
+from monoflex_tpu.models.detector import build_model
+from monoflex_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from monoflex_tpu.train.solver import build_optimizer
+from monoflex_tpu.train.train_step import TrainState, make_train_step
+
+pid = int(sys.argv[1])
+cfg = get_cfg_defaults()
+cfg.merge_from_file(os.path.join({repo!r}, "runs", "monoflex.yaml"))
+model = build_model(cfg)
+loss_computer = LossComputer(cfg)
+
+batch_np = make_dummy_batch(4, input_height=64, input_width=128, n_valid=2)
+local = {{k: v[pid * 2:(pid + 1) * 2] for k, v in batch_np.items()}}
+
+b0 = {{k: jnp.asarray(v[:1]) for k, v in batch_np.items()}}
+variables = model.init(jax.random.PRNGKey(0), b0["image"], b0["edge_indices"],
+                       b0["edge_len"], train=False)
+tx, _ = build_optimizer(cfg, variables["params"])
+state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                   batch_stats=variables["batch_stats"],
+                   opt_state=tx.init(variables["params"]),
+                   skips=jnp.zeros((), jnp.int32))
+
+mesh = make_mesh(4)
+state = jax.device_put(state, replicated(mesh))
+train_step = jax.jit(make_train_step(model, loss_computer, tx))
+batch = shard_batch(local, mesh)
+with mesh:
+    state2, metrics = train_step(state, batch)
+print(f"TOTAL {{float(metrics['total_loss']):.6f}}", flush=True)
+print(f"RANK_OK {{pid}}")
+"""
+
+
+def test_gspmd_two_process_train_step_parity(tmp_path):
+    """The 2-host sharded train step computes the same loss as the same step
+    on a single host (4 virtual devices each way). Exercises process-local
+    batch assembly + GSPMD grad all-reduce / global BN stats end to end
+    (reference's multi-GPU path is untested by its authors, README.md:56)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from monoflex_tpu.config import get_cfg_defaults
+    from monoflex_tpu.data.synthetic import make_dummy_batch
+    from monoflex_tpu.losses.loss_computation import LossComputer
+    from monoflex_tpu.models.detector import build_model
+    from monoflex_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    from monoflex_tpu.train.solver import build_optimizer
+    from monoflex_tpu.train.train_step import TrainState, make_train_step
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(repo, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # single-process reference on a 4-device mesh (conftest provides 8)
+    cfg = get_cfg_defaults()
+    cfg.merge_from_file(os.path.join(repo, "runs", "monoflex.yaml"))
+    model = build_model(cfg)
+    loss_computer = LossComputer(cfg)
+    batch_np = make_dummy_batch(4, input_height=64, input_width=128, n_valid=2)
+    b0 = {k: jnp.asarray(v[:1]) for k, v in batch_np.items()}
+    variables = model.init(jax.random.PRNGKey(0), b0["image"],
+                           b0["edge_indices"], b0["edge_len"], train=False)
+    tx, _ = build_optimizer(cfg, variables["params"])
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]),
+                       skips=jnp.zeros((), jnp.int32))
+    mesh = make_mesh(4)
+    state = jax.device_put(state, replicated(mesh))
+    train_step = jax.jit(make_train_step(model, loss_computer, tx))
+    with mesh:
+        _, metrics = train_step(state, shard_batch(batch_np, mesh))
+    expected = float(metrics["total_loss"])
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = GSPMD_WORKER.format(repo=repo, coord=f"127.0.0.1:{port}")
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_", "PYTHONPATH"))}
+
+    for attempt in range(3):
+        procs = [subprocess.Popen([sys.executable, "-c", script, str(i)],
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, env=env, text=True)
+                 for i in range(2)]
+        outs = [p.communicate(timeout=1500)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        flaky = any("Gloo context initialization failed" in o
+                    or "Connect timeout" in o for o in outs)
+        if not flaky or attempt == 2:
+            break
+
+    totals = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-3000:]}"
+        assert f"RANK_OK {i}" in out
+        m = re.search(r"TOTAL ([0-9.]+)", out)
+        assert m, out[-2000:]
+        totals.append(float(m.group(1)))
+
+    # both processes observe the same replicated loss, equal to the
+    # single-host result (same global batch, same init, same optimizer)
+    assert totals[0] == pytest.approx(totals[1], rel=1e-5)
+    assert totals[0] == pytest.approx(expected, rel=1e-3), (totals, expected)

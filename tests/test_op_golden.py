@@ -1,0 +1,160 @@
+"""Per-op golden tests vs torch-CPU oracles (VERDICT r2 #5).
+
+Localizes forward-path checkpoint-import parity op by op, complementing the
+whole-decoder golden test (test_decode_parity.py): BatchNorm semantics,
+the bilinear-initialised depthwise ConvTranspose2d upsampler (reference:
+model/backbone/dla_dcn.py:372-381), and the edge-fusion boundary sampling
+(reference grid_sample align_corners=True, model/head/detector_predictor.py:148).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from monoflex_tpu.models.backbone.dla import BilinearUp, _bilinear_upsample_init
+from monoflex_tpu.ops.image_ops import gather_edge_features
+
+
+# --- bilinear depthwise ConvTranspose2d ------------------------------------
+
+@pytest.mark.parametrize("f,c,h,w", [(2, 4, 5, 7), (4, 3, 4, 6), (2, 64, 8, 8)])
+def test_bilinear_up_matches_torch_convtranspose(f, c, h, w):
+    """Our lhs-dilated-conv formulation == torch ConvTranspose2d(k=2f,
+    stride=f, pad=f//2, groups=C) with the same weights."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, h, w, c).astype(np.float32)
+
+    up = BilinearUp(factor=f)
+    variables = up.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ours = np.asarray(up.apply(variables, jnp.asarray(x)))
+
+    # same weights, torch layout: (in, out/groups=1, kH, kW)
+    kernel = np.asarray(variables["params"]["kernel"])  # (2f, 2f, 1, c)
+    tconv = torch.nn.ConvTranspose2d(c, c, 2 * f, stride=f, padding=f // 2,
+                                     groups=c, bias=False)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(
+            np.transpose(kernel, (3, 2, 0, 1))))  # (c, 1, 2f, 2f)
+        ref = tconv(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+
+    assert ours.shape == ref.shape == (2, h * f, w * f, c)
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-5)
+
+
+def test_bilinear_init_is_canonical_kernel():
+    """The init must equal the canonical bilinear-interpolation kernel the
+    reference fills (fill_up_weights, model/backbone/dla_dcn.py:372-381):
+    w[i,j] = (1-|i/f - c|)(1-|j/f - c|), c = (2f-1-f%2)/(2f), same for every
+    channel."""
+    for k in (4, 8):
+        kernel = np.asarray(_bilinear_upsample_init(None, (k, k, 1, 3)))
+        f = math.ceil(k / 2)
+        center = (2 * f - 1 - f % 2) / (2.0 * f)
+        i = np.arange(k)
+        expect = np.outer(1 - np.abs(i / f - center), 1 - np.abs(i / f - center))
+        for ch in range(3):
+            np.testing.assert_allclose(kernel[:, :, 0, ch], expect, atol=1e-7)
+    # and a torch upsample sanity check: on a constant map, interior output
+    # is constant (partition of unity away from borders)
+    x = np.ones((1, 6, 6, 2), np.float32)
+    up = BilinearUp(factor=2)
+    y = np.asarray(up.apply(up.init(jax.random.PRNGKey(0), jnp.asarray(x)),
+                            jnp.asarray(x)))
+    np.testing.assert_allclose(y[0, 2:-2, 2:-2], 1.0, atol=1e-6)
+
+
+# --- BatchNorm semantics ----------------------------------------------------
+
+def test_batchnorm_eval_matches_torch():
+    """Imported running stats must normalize identically: flax BatchNorm
+    (eval, eps 1e-5) == torch BatchNorm2d.eval()."""
+    import flax.linen as nn
+
+    rng = np.random.RandomState(1)
+    c = 16
+    x = rng.randn(2, 5, 7, c).astype(np.float32)
+    mean = rng.randn(c).astype(np.float32)
+    var = rng.rand(c).astype(np.float32) + 0.5
+    scale = rng.randn(c).astype(np.float32)
+    bias = rng.randn(c).astype(np.float32)
+
+    bn = nn.BatchNorm(use_running_average=True, epsilon=1e-5, momentum=0.9)
+    ours = np.asarray(bn.apply(
+        {"params": {"scale": jnp.asarray(scale), "bias": jnp.asarray(bias)},
+         "batch_stats": {"mean": jnp.asarray(mean), "var": jnp.asarray(var)}},
+        jnp.asarray(x)))
+
+    tbn = torch.nn.BatchNorm2d(c, eps=1e-5, momentum=0.1)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(scale))
+        tbn.bias.copy_(torch.from_numpy(bias))
+        tbn.running_mean.copy_(torch.from_numpy(mean))
+        tbn.running_var.copy_(torch.from_numpy(var))
+    tbn.eval()
+    with torch.no_grad():
+        ref = tbn(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-6)
+
+
+def test_batchnorm_train_update_bessel_deviation():
+    """Documented deviation (docs/PARITY.md): torch updates running_var with
+    the UNBIASED batch variance (x n/(n-1)); flax uses the biased one. At the
+    flagship n = B*H*W ~ 2.5e5 the relative gap is ~4e-6 — negligible, but
+    pin the relationship so it stays understood rather than rediscovered."""
+    import flax.linen as nn
+
+    rng = np.random.RandomState(2)
+    c, B, H, W = 8, 2, 4, 5
+    n = B * H * W
+    x = rng.randn(B, H, W, c).astype(np.float32)
+
+    bn = nn.BatchNorm(use_running_average=False, epsilon=1e-5, momentum=0.9)
+    variables = bn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    _, mutated = bn.apply(variables, jnp.asarray(x), mutable=["batch_stats"])
+    ours_var = np.asarray(mutated["batch_stats"]["var"])
+    ours_mean = np.asarray(mutated["batch_stats"]["mean"])
+
+    tbn = torch.nn.BatchNorm2d(c, eps=1e-5, momentum=0.1)
+    tbn.train()
+    with torch.no_grad():
+        tbn(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    np.testing.assert_allclose(ours_mean, tbn.running_mean.numpy(), atol=1e-6)
+    # exact relationship: torch_var = 0.9*1 + 0.1*biased_var*(n/(n-1))
+    biased = (ours_var - 0.9) / 0.1
+    expect_torch = 0.9 + 0.1 * biased * n / (n - 1)
+    np.testing.assert_allclose(expect_torch, tbn.running_var.numpy(),
+                               rtol=1e-5)
+
+
+# --- edge-fusion boundary sampling -------------------------------------------
+
+def test_edge_gather_matches_torch_grid_sample():
+    """The reference samples boundary features with grid_sample
+    (align_corners=True) at integer pixel coords — exactly a gather. Feed the
+    same coords to torch's grid_sample and to our gather."""
+    rng = np.random.RandomState(3)
+    B, H, W, C, E = 2, 24, 80, 6, 64
+    fmap = rng.randn(B, H, W, C).astype(np.float32)
+    xs = rng.randint(0, W, size=(B, E)).astype(np.int32)
+    ys = rng.randint(0, H, size=(B, E)).astype(np.int32)
+    edge = np.stack([xs, ys], axis=-1)  # [x, y]
+
+    ours = np.asarray(gather_edge_features(jnp.asarray(fmap), jnp.asarray(edge)))
+
+    # normalized grid like the reference: 2*x/(W-1)-1 with align_corners=True
+    grid = np.stack([2.0 * xs / (W - 1) - 1.0, 2.0 * ys / (H - 1) - 1.0],
+                    axis=-1).astype(np.float32)[:, None]  # (B,1,E,2)
+    ref = F.grid_sample(torch.from_numpy(np.transpose(fmap, (0, 3, 1, 2))),
+                        torch.from_numpy(grid), align_corners=True)
+    ref = ref.numpy()[:, :, 0].transpose(0, 2, 1)  # (B,E,C)
+    # grid_sample's f32 normalized coords land ~1 ulp off the pixel center
+    # and blend in a sliver of the neighbor (measured: 1.6e-5 on <1% of
+    # samples) — oracle rounding, ours is the exact gather
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-4)

@@ -52,6 +52,39 @@ def test_schedules():
     assert float(oc(1000)) < 1e-6
 
 
+def test_one_cycle_momentum_inverse_to_lr():
+    from monoflex_tpu.train.solver import one_cycle_momentum
+
+    mom = one_cycle_momentum(1000, (0.95, 0.85), 0.4)
+    # momentum runs INVERSELY to the LR (reference fastai OneCycle)
+    assert float(mom(0)) == pytest.approx(0.95)
+    assert float(mom(400)) == pytest.approx(0.85, rel=1e-3)  # LR peak
+    assert float(mom(1000)) == pytest.approx(0.95, rel=1e-3)
+    assert float(mom(200)) < 0.95 and float(mom(200)) > 0.85
+
+
+def test_adam_onecycle_optimizer_steps(cfg):
+    """The fastai-parity adam_onecycle mode (cycled b1 + true decoupled WD)
+    builds and takes finite steps (reference ships it marked 'not working',
+    config/defaults.py:259 — ours must actually work)."""
+    c = cfg.clone()
+    c.defrost()
+    c.SOLVER.OPTIMIZER = "adam_onecycle"
+    c.SOLVER.MAX_ITERATION = 100
+    c.freeze()
+    params = {"backbone": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros(3)}}
+    tx, schedule = build_optimizer(c, params)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    p = params
+    for _ in range(3):
+        updates, opt_state = tx.update(grads, opt_state, p)
+        p = jax.tree.map(lambda a, b: a + b, p, updates)
+    flat = jax.tree.leaves(p)
+    assert all(bool(jnp.isfinite(x).all()) for x in flat)
+    assert float(jnp.abs(flat[0] - 1.0).max()) > 0  # params moved
+
+
 def test_train_step_decreases_loss(cfg, tiny_setup):
     model, tx, state, batch = tiny_setup
     loss_computer = LossComputer(cfg)
