@@ -19,7 +19,7 @@ jax.config.update("jax_compilation_cache_dir",
 import jax.numpy as jnp
 
 from .config import DatasetCatalog
-from .data.dataset import KITTIDataset
+from .data.dataset import CachedFlipDataset, KITTIDataset
 from .data.loader import collate, make_train_loader
 from .decode.postprocessor import PostProcessor
 from .engine.defaults import default_argument_parser, default_setup, setup
@@ -39,7 +39,10 @@ def build_datasets(cfg):
     test_name = cfg.DATASETS.TEST[0]
     train_root = DatasetCatalog.get(train_name)["args"]["root"]
     test_root = DatasetCatalog.get(test_name)["args"]["root"]
-    train_ds = KITTIDataset(cfg, train_root, is_train=True)
+    if cfg.DATALOADER.CACHE_DATASET:
+        train_ds = CachedFlipDataset(cfg, train_root, is_train=True)
+    else:
+        train_ds = KITTIDataset(cfg, train_root, is_train=True)
     eval_ds = KITTIDataset(cfg, test_root, is_train=False)
     return train_ds, eval_ds
 

@@ -73,6 +73,9 @@ _C.DATALOADER.NUM_WORKERS = 8
 _C.DATALOADER.SIZE_DIVISIBILITY = 0
 _C.DATALOADER.ASPECT_RATIO_GROUPING = False
 _C.DATALOADER.PREFETCH_BATCHES = 2
+# memoize encoded samples in RAM (both flip variants per index); for small
+# synthetic sets driven many epochs on few-core hosts (data/dataset.py)
+_C.DATALOADER.CACHE_DATASET = False
 
 # ---------------------------------------------------------------------------
 # BACKBONE

@@ -478,7 +478,7 @@ def dcn_pallas_v2_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
 
 def _packed_dx_kernel(g_hbm, offe_hbm, offo_hbm, maske_hbm, masko_hbm, w_ref,
                       dx_ref, gv_ref, uv_ref, us_ref, offe_ref, offo_ref,
-                      maske_ref, masko_ref, wmap_ref, acc_ref, sem,
+                      maske_ref, masko_ref, wtmp_ref, wmap_ref, acc_ref, sem,
                       *, tile_h: int, width: int, max_offset: int,
                       compute_dtype):
     """Lane-packed dx (C = Co = 64): two output pixels per 128-lane tile.
@@ -553,13 +553,20 @@ def _packed_dx_kernel(g_hbm, offe_hbm, offo_hbm, maske_hbm, masko_hbm, w_ref,
                     prod_o = wy_o * hx_o
                     m0 = prod_e if p0 == 0 else prod_o
                     m1 = prod_e if p1 == 0 else prod_o
-                    w0 = pltpu.roll(m0, shift=rowshift, axis=0)[
+                    # stage the rolled/offset-layout slices through an
+                    # aligned scratch before the rank-expanding reshape:
+                    # Mosaic cannot shape_cast a 2-D vector with a lane-offset
+                    # layout to 3-D (same fix as _dx2_kernel / DESIGN.md
+                    # round-2 campaign item 4)
+                    wtmp_ref[0] = pltpu.roll(m0, shift=rowshift, axis=0)[
                         :tile_h, a0: a0 + wh]
-                    w1 = pltpu.roll(m1, shift=rowshift, axis=0)[
+                    wtmp_ref[1] = pltpu.roll(m1, shift=rowshift, axis=0)[
                         :tile_h, a1: a1 + wh]
                     wmap_ref[...] = jnp.concatenate(
-                        [jnp.broadcast_to(w0[:, :, None], (tile_h, wh, 64)),
-                         jnp.broadcast_to(w1[:, :, None], (tile_h, wh, 64))],
+                        [jnp.broadcast_to(wtmp_ref[0][:, :, None],
+                                          (tile_h, wh, 64)),
+                         jnp.broadcast_to(wtmp_ref[1][:, :, None],
+                                          (tile_h, wh, 64))],
                         axis=-1)
                     rows = us_ref[pl.ds(P - dxs, 1),
                                   pl.ds(P - ky - e, tile_h)][0]
@@ -637,6 +644,7 @@ def dcn_pallas_v2_packed_bwd_dx(x, offset, mask, weight, g,
             pltpu.VMEM((18, tile_h + 16, whp128), jnp.float32),
             pltpu.VMEM((9, tile_h + 16, whp128), jnp.float32),
             pltpu.VMEM((9, tile_h + 16, whp128), jnp.float32),
+            pltpu.VMEM((2, tile_h, wh), jnp.float32),
             pltpu.VMEM((tile_h, wh, 128), jnp.float32),
             pltpu.VMEM((tile_h, wh, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),

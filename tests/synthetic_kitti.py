@@ -33,7 +33,9 @@ def _label_line(cls, trunc, occ, box2d, h, w, l, t, ry):
             f"{h:.2f} {w:.2f} {l:.2f} {t[0]:.2f} {t[1]:.2f} {t[2]:.2f} {ry:.2f}")
 
 
-def project_box(P, t, h, w, l, ry, img_w=IMG_W, img_h=IMG_H):
+def project_corners(P, t, h, w, l, ry):
+    """8 corner (u, v) + camera-frame depth per corner (KITTI convention:
+    t is the BOTTOM center; corners 0,1,4,5 are the +x heading face)."""
     x_c = np.array([l / 2, l / 2, -l / 2, -l / 2, l / 2, l / 2, -l / 2, -l / 2])
     y_c = np.array([0.0, 0, 0, 0, -h, -h, -h, -h])
     z_c = np.array([w / 2, -w / 2, -w / 2, w / 2, w / 2, -w / 2, -w / 2, w / 2])
@@ -43,6 +45,11 @@ def project_box(P, t, h, w, l, ry, img_w=IMG_W, img_h=IMG_H):
     hom = np.hstack([corners, np.ones((8, 1))])
     uvz = hom @ P.T
     uv = uvz[:, :2] / uvz[:, 2:3]
+    return uv, corners[:, 2]
+
+
+def project_box(P, t, h, w, l, ry, img_w=IMG_W, img_h=IMG_H):
+    uv, _ = project_corners(P, t, h, w, l, ry)
     return np.array([
         max(uv[:, 0].min(), 0), max(uv[:, 1].min(), 0),
         min(uv[:, 0].max(), img_w - 1), min(uv[:, 1].max(), img_h - 1),
@@ -77,16 +84,24 @@ _CLASS_LOOK = {
 
 
 def _random_scene(rng, n_obj):
-    """Random objects with class-dependent dims at plausible depths."""
+    """Random objects with class-dependent dims at plausible depths.  Depths
+    biased near (more pixels per object) and positions rejection-sampled so
+    objects rarely fully occlude each other."""
     objs = []
+    placed = []  # (u_angle, z)
     for _ in range(n_obj):
         cls = ["Car", "Car", "Car", "Pedestrian", "Cyclist"][rng.randint(5)]
         _, (mh, mw, ml), jit = _CLASS_LOOK[cls]
         h = mh * float(np.exp(rng.randn() * jit))
         w = mw * float(np.exp(rng.randn() * jit))
         l = ml * float(np.exp(rng.randn() * jit))
-        z = float(rng.uniform(8.0, 45.0))
-        x = float(rng.uniform(-0.55, 0.55) * z * 0.55)
+        for _try in range(20):
+            z = 7.0 + 31.0 * float(rng.uniform()) ** 1.4
+            x = float(rng.uniform(-0.45, 0.45)) * z
+            u = x / z
+            if all(abs(u - pu) > 0.12 or abs(z - pz) > 8.0 for pu, pz in placed):
+                break
+        placed.append((u, z))
         y = float(rng.uniform(1.4, 1.9))
         ry = float(rng.uniform(-math.pi, math.pi))
         objs.append((cls, 0.0, 0, h, w, l, (x, y, z), ry))
@@ -95,25 +110,51 @@ def _random_scene(rng, n_obj):
     return objs
 
 
+# cuboid faces as corner-index quads (0,1,4,5 = +x heading face) with a
+# per-face brightness factor: heading face brightest, so yaw is visually
+# observable — flat-patch rendering left orientation (and hence 3D/BEV AP)
+# unlearnable
+_FACES = [
+    ((2, 3, 7, 6), 0.45),   # -x rear
+    ((0, 3, 7, 4), 0.95),   # +z side
+    ((1, 2, 6, 5), 0.70),   # -z side
+    ((4, 5, 6, 7), 1.15),   # top
+    ((0, 1, 5, 4), 1.50),   # +x heading face
+]
+
+
 def _render_scene(img, objs, p2, img_w, img_h, rng):
-    """Paint each object as a class-colored shaded patch inside its projected
-    2D box (enough visual signal for a conv net to learn appearance -> class,
-    center, size; depth is learnable from apparent size)."""
+    """Paint each object as a shaded 3D cuboid: per-face painter's algorithm
+    (far faces first), heading face brightest, corner dots.  Gives a conv net
+    visual access to class (color), depth (apparent size + depth shading),
+    dimensions (face extents), orientation (face shading asymmetry), and the
+    10 keypoints MonoFlex regresses (visible cuboid corners)."""
+    from PIL import ImageDraw
+
+    im = Image.fromarray(img)
+    draw = ImageDraw.Draw(im)
     for cls, _, _, h, w, l, t, ry in objs:
-        box = project_box(p2, t, h, w, l, ry, img_w, img_h)
-        x1, y1, x2, y2 = [int(round(v)) for v in box]
-        if x2 - x1 < 2 or y2 - y1 < 2:
+        if t[2] < 1.0:
+            continue
+        uv, depth = project_corners(p2, t, h, w, l, ry)
+        if not np.all(np.isfinite(uv)):
             continue
         color = np.array(_CLASS_LOOK[cls][0], dtype=np.float32)
-        # darken with depth, add a light vertical gradient + border
-        shade = np.clip(1.2 - t[2] / 60.0, 0.35, 1.0)
-        patch = np.tile(color * shade, ((y2 - y1), (x2 - x1), 1))
-        grad = np.linspace(0.85, 1.15, y2 - y1, dtype=np.float32)[:, None, None]
-        patch = np.clip(patch * grad + rng.randn(*patch.shape) * 6.0, 0, 255)
-        img[y1:y2, x1:x2] = patch.astype(np.uint8)
-        img[y1:y2, x1:min(x1 + 1, img_w)] = 255
-        img[y1:min(y1 + 1, img_h), x1:x2] = 255
-    return img
+        shade = np.clip(1.25 - t[2] / 55.0, 0.4, 1.0)
+        # painter's: sort faces far -> near so nearer faces overdraw
+        order = sorted(_FACES, key=lambda f: -float(np.mean(depth[list(f[0])])))
+        for quad, factor in order:
+            pts = [tuple(uv[i]) for i in quad]
+            c = tuple(int(v) for v in np.clip(color * shade * factor, 0, 255))
+            draw.polygon(pts, fill=c)
+        # bright corner dots on the top face + heading edge marker
+        for i in (4, 5, 6, 7):
+            u, v = uv[i]
+            draw.ellipse([u - 0.7, v - 0.7, u + 0.7, v + 0.7], fill=(255, 255, 255))
+        draw.line([tuple(uv[0]), tuple(uv[1])], fill=(255, 255, 0), width=1)
+    out = np.asarray(im, dtype=np.float32)
+    out = np.clip(out + rng.randn(img_h, img_w, 3) * 5.0, 0, 255)
+    return out.astype(np.uint8)
 
 
 def make_synthetic_kitti(root: str, frames=None, seed: int = 0, scale: int = 1,

@@ -58,6 +58,11 @@ def main():
                     help="also record profiler-trace device ms per call")
     ap.add_argument("--oracle", action="store_true",
                     help="cross-check vs XLA shift impl at batch 2")
+    ap.add_argument("--packed-parity", dest="packed_parity",
+                    action="store_true",
+                    help="diff each packed kernel vs its unpacked twin ON "
+                         "DEVICE (catches dynamic-roll corruption that "
+                         "interpret mode cannot)")
     ap.add_argument("--out", default="/tmp/compile_v2.jsonl")
     args = ap.parse_args()
 
@@ -121,6 +126,29 @@ def main():
             print(line, flush=True)
             with open(args.out, "a") as f:
                 f.write(line + "\n")
+
+        if args.packed_parity and C == 64 and Co == 64 and W % 2 == 0:
+            pairs = {
+                "fwd": (fns.get("packed"), fns.get("fwd")),
+                "dx": (fns.get("dxp"), fns.get("dx")),
+                "dwmo": (fns.get("dwmop"), fns.get("dwmo")),
+            }
+            for name, (pf, uf) in pairs.items():
+                rec = {"shape": [H, W, C, Co],
+                       "kernel": f"packed-parity-{name}", "batch": B, "R": R}
+                try:
+                    got = jax.tree.leaves(jax.block_until_ready(pf()))
+                    ref = jax.tree.leaves(jax.block_until_ready(uf()))
+                    for i, (r, t) in enumerate(zip(ref, got)):
+                        denom = float(jnp.max(jnp.abs(r))) or 1.0
+                        rec[f"relerr_{i}"] = round(
+                            float(jnp.max(jnp.abs(r - t))) / denom, 7)
+                except Exception:  # noqa: BLE001
+                    rec["error"] = traceback.format_exc()[-1600:]
+                line = json.dumps(rec)
+                print(line, flush=True)
+                with open(args.out, "a") as f:
+                    f.write(line + "\n")
 
         if args.oracle and "error" not in rec:
             # batch-2 numeric cross-check of the full VJP vs the XLA shift

@@ -120,6 +120,108 @@ def _kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
     out_ref[0] = acc_ref[...].reshape(out_ref.shape[1:]).astype(out_ref.dtype)
 
 
+def _kernel_hoist3d(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
+                    wxs_ref, wys_ref, s_ref, t_ref, acc_ref, sem, *,
+                    tile_h, width, max_offset, compute_dtype):
+    """Stage the relayouted hat maps: the (tile_h, W) -> (tile_h, W, 1)
+    lane->sublane relayout costs ~as many vreg writes as a full-width FMA,
+    and the production kernel pays it 30x per tap (25 wx + 5 wy).  Here each
+    tap writes the 2R+1 wx and wy maps into broadcast-ready VMEM scratches
+    once (10 relayouts), and the hot loop reads them aligned."""
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(row0, xv_ref.shape[0])], xv_ref, sem)
+    copy.start()
+    copy.wait()
+    for j in range(2 * P + 1):
+        xs_ref[j] = xv_ref[:, j: j + width, :]
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for k in range(9):
+        ky, kx = k // 3 - 1, k % 3 - 1
+        oy = jnp.clip(off_ref[0, 2 * k], -R, R)
+        ox = jnp.clip(off_ref[0, 2 * k + 1], -R, R)
+        mk = mask_ref[0, k]
+        for i, dx in enumerate(range(kx - R, kx + R + 1)):
+            wxs_ref[i] = V2._hat(ox + (kx - dx))[:, :, None]
+        for i, dy in enumerate(range(ky - R, ky + R + 1)):
+            wys_ref[i] = (V2._hat(oy + (ky - dy)) * mk)[:, :, None]
+
+        s_ref[...] = jnp.zeros_like(s_ref)
+        for j, dy in enumerate(range(ky - R, ky + R + 1)):
+            t_ref[...] = jnp.zeros_like(t_ref)
+            for i, dx in enumerate(range(kx - R, kx + R + 1)):
+                rows = xs_ref[P + dx, P + dy: P + dy + tile_h, :, :]
+                t_ref[...] += rows * wxs_ref[i].astype(compute_dtype)
+            s_ref[...] += t_ref[...] * wys_ref[j].astype(compute_dtype)
+
+        sk = s_ref[...].reshape(tile_h * width, s_ref.shape[-1])
+        acc_ref[...] += jnp.dot(sk, w_ref[k],
+                                preferred_element_type=jnp.float32)
+    out_ref[0] = acc_ref[...].reshape(out_ref.shape[1:]).astype(out_ref.dtype)
+
+
+def build_hoist3d(shapes, max_offset=2, compute_dtype=jnp.float32):
+    B, H, W, C, Co = shapes
+    R = max_offset
+    P = R + 1
+    tile_h = V2._pick_tile_h(H)
+    pad_h = (-H) % tile_h
+    Hp = H + pad_h
+    win_h = tile_h + 2 * P
+    Cp = C + (-C) % 128
+    wp2f = W + 2 * P
+    wp2f = wp2f + (-wp2f) % 8
+
+    kernel = functools.partial(_kernel_hoist3d, tile_h=tile_h, width=W,
+                               max_offset=R, compute_dtype=compute_dtype)
+    interpret = jax.default_backend() != "tpu"
+    call = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(B, Hp // tile_h),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, W), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((9, Cp, Co), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W, Co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, wp2f, Cp), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, W, Cp), compute_dtype),
+            pltpu.VMEM((2 * P + 1, tile_h, W, 1), jnp.float32),
+            pltpu.VMEM((2 * P + 1, tile_h, W, 1), jnp.float32),
+            pltpu.VMEM((tile_h, W, Cp), compute_dtype),
+            pltpu.VMEM((tile_h, W, Cp), compute_dtype),
+            pltpu.VMEM((tile_h * W, Co), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    @jax.jit
+    def fn(x, offset, mask, weight):
+        xt = jnp.pad(x.astype(compute_dtype),
+                     ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, Cp - C)))
+        off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+        mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+        if pad_h:
+            off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+            mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+        w_t = jnp.pad(weight.reshape(9, C, Co).astype(compute_dtype),
+                      ((0, 0), (0, Cp - C), (0, 0)))
+        return call(xt, off_t, mask_t, w_t)[:, :H]
+
+    return fn
+
+
 def _packed_kernel(x_hbm, offe_ref, offo_ref, maske_ref, masko_ref, w_ref,
                    out_ref, xv_ref, xs_ref, s_ref, t_ref, acc_ref, sem, *,
                    tile_h, width, max_offset, compute_dtype):
@@ -254,6 +356,140 @@ def build_packed(shapes, max_offset=2, compute_dtype=jnp.float32):
     return fn
 
 
+def _packed_h3_kernel(x_hbm, offe_ref, offo_ref, maske_ref, masko_ref, w_ref,
+                      out_ref, xv_ref, xs_ref, wxs_ref, wys_ref, s_ref, t_ref,
+                      acc_ref, sem, *, tile_h, width, max_offset,
+                      compute_dtype):
+    """Packed forward with staged hat maps: the per-term map construction
+    (2 half-width relayouts + a concat, ~= one full-width FMA) moves out of
+    the 25-term loop into 10 staged writes per tap."""
+    R = max_offset
+    P = R + 1
+    wh = width // 2
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(row0, xv_ref.shape[0])], xv_ref, sem)
+    copy.start()
+    copy.wait()
+    for j in range(2 * P + 1):
+        s = j + 1
+        a = s // 2
+        if s % 2 == 0:
+            xs_ref[j] = xv_ref[:, a: a + wh, :]
+        else:
+            xs_ref[j] = jnp.concatenate(
+                [xv_ref[:, a: a + wh, 64:],
+                 xv_ref[:, a + 1: a + 1 + wh, :64]], axis=-1)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def tap_body(k, carry):
+        ky = k // 3 - 1
+        kx = k % 3 - 1
+        oy_e = jnp.clip(offe_ref[0, pl.ds(2 * k, 1)][0], -R, R)
+        oy_o = jnp.clip(offo_ref[0, pl.ds(2 * k, 1)][0], -R, R)
+        ox_e = jnp.clip(offe_ref[0, pl.ds(2 * k + 1, 1)][0], -R, R)
+        ox_o = jnp.clip(offo_ref[0, pl.ds(2 * k + 1, 1)][0], -R, R)
+        mk_e = maske_ref[0, pl.ds(k, 1)][0]
+        mk_o = masko_ref[0, pl.ds(k, 1)][0]
+        for i in range(2 * P + 1):
+            e = i - R
+            wy_e = (jnp.maximum(0.0, 1.0 - jnp.abs(oy_e - e)) * mk_e)
+            wy_o = (jnp.maximum(0.0, 1.0 - jnp.abs(oy_o - e)) * mk_o)
+            wys_ref[i] = jnp.concatenate(
+                [jnp.broadcast_to(wy_e[:, :, None], wy_e.shape + (64,)),
+                 jnp.broadcast_to(wy_o[:, :, None], wy_o.shape + (64,))],
+                axis=-1).astype(wys_ref.dtype)
+            wx_e = jnp.maximum(0.0, 1.0 - jnp.abs(ox_e - e))
+            wx_o = jnp.maximum(0.0, 1.0 - jnp.abs(ox_o - e))
+            wxs_ref[i] = jnp.concatenate(
+                [jnp.broadcast_to(wx_e[:, :, None], wx_e.shape + (64,)),
+                 jnp.broadcast_to(wx_o[:, :, None], wx_o.shape + (64,))],
+                axis=-1).astype(wxs_ref.dtype)
+        s_ref[...] = jnp.zeros_like(s_ref)
+        for j, e in enumerate(range(-R, R + 1)):
+            t_ref[...] = jnp.zeros_like(t_ref)
+            for i, f in enumerate(range(-R, R + 1)):
+                rows = xs_ref[pl.ds(P + kx + f, 1),
+                              pl.ds(P + ky + e, tile_h), :, :][0]
+                t_ref[...] += rows * wxs_ref[pl.ds(i, 1)][0]
+            s_ref[...] += t_ref[...] * wys_ref[pl.ds(j, 1)][0]
+        sk = s_ref[...].reshape(tile_h * wh, s_ref.shape[-1])
+        acc_ref[...] += jnp.dot(sk, w_ref[pl.ds(k, 1)][0],
+                                preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, 9, tap_body, 0)
+    out_ref[0] = acc_ref[...].reshape(out_ref.shape[1:]).astype(out_ref.dtype)
+
+
+def build_packed_h3(shapes, max_offset=2, compute_dtype=jnp.float32):
+    B, H, W, C, Co = shapes
+    assert C == 64 and Co == 64 and W % 2 == 0, (C, Co, W)
+    R = max_offset
+    P = R + 1
+    tile_h = V2._pick_tile_h(H)
+    pad_h = (-H) % tile_h
+    Hp = H + pad_h
+    win_h = tile_h + 2 * P
+    wh = W // 2
+    np_pairs = (W + 8) // 2
+
+    kernel = functools.partial(_packed_h3_kernel, tile_h=tile_h, width=W,
+                               max_offset=R, compute_dtype=compute_dtype)
+    interpret = jax.default_backend() != "tpu"
+    call = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(B, Hp // tile_h),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 18, tile_h, wh), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 18, tile_h, wh), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, wh), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, wh), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((9, 128, 128), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, wh, 128),
+                               lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, wh, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, np_pairs, 128), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, wh, 128), compute_dtype),
+            pltpu.VMEM((2 * P + 1, tile_h, wh, 128), compute_dtype),
+            pltpu.VMEM((2 * P + 1, tile_h, wh, 128), compute_dtype),
+            pltpu.VMEM((tile_h, wh, 128), compute_dtype),
+            pltpu.VMEM((tile_h, wh, 128), compute_dtype),
+            pltpu.VMEM((tile_h * wh, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    @jax.jit
+    def fn(x, offset, mask, weight):
+        xt = jnp.pad(x.astype(compute_dtype),
+                     ((0, 0), (P, P + pad_h), (4, 4), (0, 0)))
+        xp = xt.reshape(B, Hp + 2 * P, np_pairs, 128)
+        off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+        mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+        if pad_h:
+            off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+            mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, 0)))
+        offe, offo = off_t[..., 0::2], off_t[..., 1::2]
+        maske, masko = mask_t[..., 0::2], mask_t[..., 1::2]
+        wk = weight.reshape(9, C, Co).astype(compute_dtype)
+        wblk = jnp.zeros((9, 128, 128), compute_dtype)
+        wblk = wblk.at[:, :64, :64].set(wk).at[:, 64:, 64:].set(wk)
+        out = call(xp, offe, offo, maske, masko, wblk)
+        return out.reshape(B, Hp, W, 64)[:, :H]
+
+    return fn
+
+
 def build_variant(variant, shapes, max_offset=2):
     B, H, W, C, Co = shapes
     R = max_offset
@@ -318,6 +554,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--variants", default="full,nomap,nobcast,hoistwx")
+    ap.add_argument("--parity", action="store_true",
+                    help="also diff each variant against the production "
+                         "kernel on device (nomap/nobcast are math ablations "
+                         "and expected to differ)")
     args = ap.parse_args()
     H, W, C, Co = (int(v) for v in args.shape.split(","))
     rng = np.random.RandomState(0)
@@ -334,6 +574,16 @@ def main():
         elif v == "packedbf16":
             fn = build_packed((args.batch, H, W, C, Co),
                               compute_dtype=jnp.bfloat16)
+        elif v == "packedh3":
+            fn = build_packed_h3((args.batch, H, W, C, Co))
+        elif v == "packedh3bf16":
+            fn = build_packed_h3((args.batch, H, W, C, Co),
+                                 compute_dtype=jnp.bfloat16)
+        elif v == "hoist3d":
+            fn = build_hoist3d((args.batch, H, W, C, Co))
+        elif v == "hoist3dbf16":
+            fn = build_hoist3d((args.batch, H, W, C, Co),
+                               compute_dtype=jnp.bfloat16)
         else:
             fn = build_variant(v, (args.batch, H, W, C, Co))
         t0 = time.perf_counter()
@@ -343,8 +593,13 @@ def main():
         # wall-clock on this tunnel backend is untrustworthy (see
         # trace_time.py); report the profiler's device time instead
         ms, _ = device_time(lambda: fn(x, off, mask, w), iters=args.iters)
-        print(f"{v:8s} compile {compile_s:6.1f}s  device {ms:8.3f} ms/call",
-              flush=True)
+        rel = ""
+        if args.parity:
+            ref = V2.dcn_pallas_v2(x, off, mask, w, max_offset=2)
+            denom = float(jnp.max(jnp.abs(ref))) or 1.0
+            rel = (f"  relerr {float(jnp.max(jnp.abs(ref - out))) / denom:.2e}")
+        print(f"{v:12s} compile {compile_s:6.1f}s  device {ms:8.3f} ms/call"
+              f"{rel}", flush=True)
 
 
 if __name__ == "__main__":
