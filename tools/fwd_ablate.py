@@ -121,13 +121,15 @@ def _kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
 
 
 def _kernel_hoist3d(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
-                    wxs_ref, wys_ref, s_ref, t_ref, acc_ref, sem, *,
+                    wxs_ref, s_ref, t_ref, acc_ref, sem, *,
                     tile_h, width, max_offset, compute_dtype):
     """Stage the relayouted hat maps: the (tile_h, W) -> (tile_h, W, 1)
     lane->sublane relayout costs ~as many vreg writes as a full-width FMA,
     and the production kernel pays it 30x per tap (25 wx + 5 wy).  Here each
-    tap writes the 2R+1 wx and wy maps into broadcast-ready VMEM scratches
-    once (10 relayouts), and the hot loop reads them aligned."""
+    tap writes the 2R+1 wx maps into a broadcast-ready VMEM scratch once and
+    applies wy inline (used once per dy), so the relayout count drops to
+    10/tap.  Taps run under fori (a python unroll of the staged writes
+    spilled vregs and overflowed VMEM: 182.7M/128M)."""
     R = max_offset
     P = R + 1
     b = pl.program_id(0)
@@ -140,27 +142,32 @@ def _kernel_hoist3d(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
         xs_ref[j] = xv_ref[:, j: j + width, :]
 
     acc_ref[...] = jnp.zeros_like(acc_ref)
-    for k in range(9):
-        ky, kx = k // 3 - 1, k % 3 - 1
-        oy = jnp.clip(off_ref[0, 2 * k], -R, R)
-        ox = jnp.clip(off_ref[0, 2 * k + 1], -R, R)
-        mk = mask_ref[0, k]
-        for i, dx in enumerate(range(kx - R, kx + R + 1)):
-            wxs_ref[i] = V2._hat(ox + (kx - dx))[:, :, None]
-        for i, dy in enumerate(range(ky - R, ky + R + 1)):
-            wys_ref[i] = (V2._hat(oy + (ky - dy)) * mk)[:, :, None]
+
+    def tap_body(k, carry):
+        ky = k // 3 - 1
+        kx = k % 3 - 1
+        oy = jnp.clip(off_ref[0, pl.ds(2 * k, 1)][0], -R, R)
+        ox = jnp.clip(off_ref[0, pl.ds(2 * k + 1, 1)][0], -R, R)
+        mk = mask_ref[0, pl.ds(k, 1)][0]
+        for i, f in enumerate(range(-R, R + 1)):
+            wxs_ref[i] = V2._hat(ox - f)[:, :, None]
 
         s_ref[...] = jnp.zeros_like(s_ref)
-        for j, dy in enumerate(range(ky - R, ky + R + 1)):
+        for e in range(-R, R + 1):
+            wy = (V2._hat(oy - e) * mk)[:, :, None].astype(compute_dtype)
             t_ref[...] = jnp.zeros_like(t_ref)
-            for i, dx in enumerate(range(kx - R, kx + R + 1)):
-                rows = xs_ref[P + dx, P + dy: P + dy + tile_h, :, :]
+            for i, f in enumerate(range(-R, R + 1)):
+                rows = xs_ref[pl.ds(P + kx + f, 1),
+                              pl.ds(P + ky + e, tile_h), :, :][0]
                 t_ref[...] += rows * wxs_ref[i].astype(compute_dtype)
-            s_ref[...] += t_ref[...] * wys_ref[j].astype(compute_dtype)
+            s_ref[...] += t_ref[...] * wy
 
         sk = s_ref[...].reshape(tile_h * width, s_ref.shape[-1])
-        acc_ref[...] += jnp.dot(sk, w_ref[k],
+        acc_ref[...] += jnp.dot(sk, w_ref[pl.ds(k, 1)][0],
                                 preferred_element_type=jnp.float32)
+        return carry
+
+    jax.lax.fori_loop(0, 9, tap_body, 0)
     out_ref[0] = acc_ref[...].reshape(out_ref.shape[1:]).astype(out_ref.dtype)
 
 
@@ -185,7 +192,7 @@ def build_hoist3d(shapes, max_offset=2, compute_dtype=jnp.float32):
         grid=(B, Hp // tile_h),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=127 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 18, tile_h, W), lambda b, h: (b, 0, h, 0)),
@@ -197,7 +204,6 @@ def build_hoist3d(shapes, max_offset=2, compute_dtype=jnp.float32):
         scratch_shapes=[
             pltpu.VMEM((win_h, wp2f, Cp), compute_dtype),
             pltpu.VMEM((2 * P + 1, win_h, W, Cp), compute_dtype),
-            pltpu.VMEM((2 * P + 1, tile_h, W, 1), jnp.float32),
             pltpu.VMEM((2 * P + 1, tile_h, W, 1), jnp.float32),
             pltpu.VMEM((tile_h, W, Cp), compute_dtype),
             pltpu.VMEM((tile_h, W, Cp), compute_dtype),
@@ -352,6 +358,127 @@ def build_packed(shapes, max_offset=2, compute_dtype=jnp.float32):
         wblk = wblk.at[:, :64, :64].set(wk).at[:, 64:, 64:].set(wk)
         out = call(xp, offe, offo, maske, masko, wblk)
         return out.reshape(B, Hp, W, 64)[:, :H]
+
+    return fn
+
+
+def _kernel_v15(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
+                s_ref, t_ref, sem, *, tile_h, width, max_offset,
+                compute_dtype):
+    """v1.5 layout: C on SUBLANES, W on LANES, rows untiled.
+
+    The map application becomes wm[:, None, :] -- a unit SECOND-MINOR dim,
+    i.e. a sublane broadcast, instead of v2's pathological unit-minor
+    (lane->sublane) relayout that eats 82% of the v2 kernel (ablation:
+    full 15.8 ms vs nobcast 2.9 ms).  Column shifts are pre-shifted lane
+    copies (the v2 xs trick, now on lanes); row shifts index the untiled
+    dim; for C=64 there is NO lane padding (W fills the lanes), so the
+    window FMAs do no padded work.  The tap matmul contracts C (the
+    sublane dim of both operands) and emits (W, Co) -- already the NHWC
+    output tile layout."""
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+    wp = xs_ref.shape[-1]                      # padded W (lane dim)
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(row0, xv_ref.shape[0])], xv_ref, sem)
+    copy.start()
+    copy.wait()
+    # pre-shifted column copies: xs[j][r, c, w] = xv[r, c, w + j]
+    for j in range(2 * P + 1):
+        xs_ref[j] = xv_ref[:, :, j: j + wp]
+
+    def tap_body(k, carry):
+        ky = k // 3 - 1
+        kx = k % 3 - 1
+        oy = jnp.clip(off_ref[0, pl.ds(2 * k, 1)][0], -R, R)
+        ox = jnp.clip(off_ref[0, pl.ds(2 * k + 1, 1)][0], -R, R)
+        mk = mask_ref[0, pl.ds(k, 1)][0]
+
+        s_ref[...] = jnp.zeros_like(s_ref)
+        for e in range(-R, R + 1):
+            wy = (V2._hat(oy - e) * mk)[:, None, :].astype(compute_dtype)
+            t_ref[...] = jnp.zeros_like(t_ref)
+            for f in range(-R, R + 1):
+                wx = V2._hat(ox - f)[:, None, :].astype(compute_dtype)
+                rows = xs_ref[pl.ds(P + kx + f, 1),
+                              pl.ds(P + ky + e, tile_h), :, :][0]
+                t_ref[...] += rows * wx
+            s_ref[...] += t_ref[...] * wy
+
+        # contract C (sublanes of both operands): out rows (W, Co) = NHWC
+        for r in range(t_ref.shape[0]):
+            out_ref[0, r] += jax.lax.dot_general(
+                s_ref[r], w_ref[pl.ds(k, 1)][0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:out_ref.shape[2]].astype(
+                out_ref.dtype)
+        return carry
+
+    out_ref[0] = jnp.zeros_like(out_ref[0])
+    jax.lax.fori_loop(0, 9, tap_body, 0)
+
+
+def build_v15(shapes, max_offset=2, compute_dtype=jnp.float32):
+    B, H, W, C, Co = shapes
+    R = max_offset
+    P = R + 1
+    tile_h = V2._pick_tile_h(H)
+    pad_h = (-H) % tile_h
+    Hp = H + pad_h
+    win_h = tile_h + 2 * P
+    # W on lanes: the halo must cover the widest pre-shifted copy
+    # (wp + 2P columns), padded to a 128-multiple for the DMA minor dim;
+    # C on sublanes: pad to 8
+    wp = W + (-W) % 128
+    wp2f = wp + 2 * P
+    wp2f = wp2f + (-wp2f) % 128
+    Cs = C + (-C) % 8
+
+    kernel = functools.partial(_kernel_v15, tile_h=tile_h, width=W,
+                               max_offset=R, compute_dtype=compute_dtype)
+    interpret = jax.default_backend() != "tpu"
+    call = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(B, Hp // tile_h),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 18, tile_h, wp), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, wp), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((9, Cs, Co), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W, Co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, Cs, wp2f), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, Cs, wp), compute_dtype),
+            pltpu.VMEM((tile_h, Cs, wp), compute_dtype),
+            pltpu.VMEM((tile_h, Cs, wp), compute_dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    @jax.jit
+    def fn(x, offset, mask, weight):
+        # x transposed to (B, Hp + 2P, C, Wp2): C on sublanes, W on lanes
+        xt = jnp.pad(x.astype(compute_dtype),
+                     ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, Cs - C)))
+        xt = jnp.transpose(xt, (0, 1, 3, 2))
+        # offset/mask maps padded on W to the lane-padded width so the hat
+        # maps broadcast directly against the (tile_h, Cs, wp) accumulators
+        off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+        mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+        off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, pad_h), (0, wp - W)))
+        mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, wp - W)))
+        w_t = jnp.pad(weight.reshape(9, C, Co).astype(compute_dtype),
+                      ((0, 0), (0, Cs - C), (0, 0)))
+        return call(xt, off_t, mask_t, w_t)[:, :H]
 
     return fn
 
@@ -579,6 +706,11 @@ def main():
         elif v == "packedh3bf16":
             fn = build_packed_h3((args.batch, H, W, C, Co),
                                  compute_dtype=jnp.bfloat16)
+        elif v == "v15":
+            fn = build_v15((args.batch, H, W, C, Co))
+        elif v == "v15bf16":
+            fn = build_v15((args.batch, H, W, C, Co),
+                           compute_dtype=jnp.bfloat16)
         elif v == "hoist3d":
             fn = build_hoist3d((args.batch, H, W, C, Co))
         elif v == "hoist3dbf16":
@@ -586,9 +718,13 @@ def main():
                                compute_dtype=jnp.bfloat16)
         else:
             fn = build_variant(v, (args.batch, H, W, C, Co))
-        t0 = time.perf_counter()
-        out = fn(x, off, mask, w)
-        jax.block_until_ready(out)
+        try:
+            t0 = time.perf_counter()
+            out = fn(x, off, mask, w)
+            jax.block_until_ready(out)
+        except Exception as exc:  # noqa: BLE001 — keep measuring the rest
+            print(f"{v:12s} FAILED: {str(exc)[:300]}", flush=True)
+            continue
         compile_s = time.perf_counter() - t0
         # wall-clock on this tunnel backend is untrustworthy (see
         # trace_time.py); report the profiler's device time instead
