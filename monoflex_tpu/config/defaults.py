@@ -230,10 +230,11 @@ _C.TPU.MESH_AXES = ["data"]
 _C.TPU.COMPUTE_DTYPE = "float32"  # "bfloat16" for MXU-friendly mixed precision
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.USE_PALLAS_DCN = True      # Pallas deform-conv kernel vs pure-XLA gather
-_C.TPU.DCN_KERNEL_VERSION = 2     # 2 = NHWC-native (measured faster: 51.2
-                                  # vs 46.3 img/s), 1 = channels-on-sublanes
+_C.TPU.DCN_KERNEL_VERSION = 2     # 3 = C-sublane/W-lane relayout (4.4x the
+                                  # hot kernel; docs/DESIGN.md round-3),
+                                  # 2 = NHWC-native, 1 = channels-on-sublanes
 # override the platform-automatic DCN implementation choice
-# ("" = auto; shift | gather | pallas | pallas2 | pallas2p | none) — e.g.
+# ("" = auto; shift | gather | pallas | pallas2 | pallas2p | pallas3 | none):
 # force the clamped shift semantics on CPU for offset-clamp ablations;
 # pallas2p lane-packs two pixels per 128-lane tile on C=Co=64 layers
 _C.TPU.DCN_FORCE_IMPL = ""

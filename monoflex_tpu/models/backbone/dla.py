@@ -298,6 +298,15 @@ class DCN(nn.Module):
                             (self.kernel, self.kernel, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         simple_geom = (self.stride == 1 and self.dilation == 1 and self.kernel == 3)
+        if self.impl == "pallas3" and simple_geom:
+            from ...ops.dcn_pallas_v3 import dcn_pallas_v3_vjp
+
+            # third-generation layout (C on sublanes, W on lanes): the hat-map
+            # application becomes a sublane broadcast instead of the v2
+            # lane->sublane relayout that ate 82% of the v2 kernel
+            # (docs/DESIGN.md round-3 ablation; 4.4x at the hot shape)
+            return dcn_pallas_v3_vjp(x.astype(jnp.float32), offset, mask,
+                                     weight, bias, self.max_offset)
         if self.impl in ("pallas2", "pallas2p") and simple_geom:
             from ...ops.dcn_pallas_v2 import dcn_pallas_v2_vjp
 
@@ -505,7 +514,7 @@ def default_dcn_impl(use_pallas: bool = True, kernel_version: int = 1) -> str:
     exact XLA gather path elsewhere (CPU/GPU gathers are fine)."""
     if jax.default_backend() == "tpu":
         if use_pallas:
-            return "pallas2" if kernel_version == 2 else "pallas"
+            return {1: "pallas", 2: "pallas2", 3: "pallas3"}[kernel_version]
         return "shift"
     return "gather"
 

@@ -1,0 +1,534 @@
+"""Pallas DCN v3: C-on-sublanes / W-on-lanes layout ("v15" in the ablation).
+
+Same math as ops/dcn_pallas_v2.py (modulated deformable 3x3 conv via an
+exact (2R+1)^2 shift window; reference CUDA counterpart:
+model/backbone/DCNv2/src/cuda/dcn_v2_im2col_cuda.cu:125) but a third-
+generation layout driven by the round-3 device ablation (tools/fwd_ablate.py):
+
+The v2 (NHWC) kernel spends 82% of its time NOT on the window FMAs but on
+relayouting the per-pixel hat-weight maps: a compact (tile_h, W) map with W
+on lanes must become (tile_h, W, 1) — a unit-MINOR dim — before broadcasting
+along C, and that lane->sublane relayout costs about as much as a full-width
+FMA, paid 30x per tap (measured: full 15.82 ms vs scalar-map ablation
+2.24 ms at (8,96,320,64->64)).
+
+v3 transposes the feature map to (rows, C, W): C on SUBLANES, W on LANES,
+rows on the untiled outer dim.  The map application becomes wm[:, None, :]
+— a unit SECOND-MINOR dim, i.e. a cheap sublane broadcast.  Consequences:
+
+  - column (dx) shifts are pre-shifted LANE copies (the v2 xs trick, now on
+    the lane axis); row (dy) shifts index the untiled dim: both free;
+  - for C=64 there is NO lane padding (W fills the 128 lanes), so the
+    window FMAs do no padded work — v2 padded C 64->128 and wasted half of
+    every vector op on the five dominant stride-4 layers;
+  - the tap matmul contracts C (the sublane dim of both operands) per row
+    and emits (W, Co) — already the NHWC output tile layout;
+  - Mosaic compiles in seconds (5.6 s at the hot shape vs minutes for v2):
+    far fewer relayout ops to schedule.
+
+Measured (8,96,320,64->64, f32, R=2, v5e): v2 15.82 ms -> v3 3.56 ms
+(4.4x), bit-exact vs v2.
+
+The backward kernels (dx / fused dW+dmask+doffset) carry the same layout:
+every hat/dhat map application is a sublane broadcast, the per-pixel channel
+reductions (dmask/doffset) are SUBLANE reductions emitting (tile_h, W) maps
+directly, and the dW contraction runs per-row (C, W) x (Co, W)^T on the MXU.
+
+Mosaic/v5e constraints inherited from the round-2 campaign (docs/DESIGN.md):
+taps run under lax.fori_loop (unrolled-op count drives superlinear compile
+time and vreg spills); tap-dependent reads index UNTILED dims; the dx
+kernel's map-window extraction uses dynamic pltpu.roll with positive-biased
+shifts (negative dynamic shifts silently corrupt data on v5e).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _hat(t):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def _dhat(t):
+    # d/dt max(0, 1-|t|) = -sign(t) where |t| < 1
+    return jnp.where(jnp.abs(t) < 1.0, -jnp.sign(t), 0.0)
+
+
+def _pick_tile_h(H: int) -> int:
+    # rows live on the untiled outer dim; 16 amortizes the 2P-row halo
+    if H <= 32:
+        return 16 * max(1, -(-H // 16))  # whole (padded) map in one tile
+    return 16
+
+
+def _dims(H, W, C, Co, R):
+    """Shared layout arithmetic: lane-padded widths, sublane-padded C."""
+    P = R + 1
+    tile_h = _pick_tile_h(H)
+    pad_h = (-H) % tile_h
+    Hp = H + pad_h
+    win_h = tile_h + 2 * P
+    wp = W + (-W) % 128                  # W on lanes
+    wp2f = wp + 2 * P
+    wp2f = wp2f + (-wp2f) % 128          # DMA minor-dim alignment
+    Cs = C + (-C) % 8                    # C on sublanes
+    Cos = Co + (-Co) % 8
+    return P, tile_h, pad_h, Hp, win_h, wp, wp2f, Cs, Cos
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd3_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
+                 s_ref, t_ref, sem, *, tile_h, max_offset, compute_dtype):
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+    wp = xs_ref.shape[-1]                      # lane-padded W
+
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(row0, xv_ref.shape[0])], xv_ref, sem)
+    copy.start()
+    copy.wait()
+    # pre-shifted column copies: xs[j][r, c, w] = xv[r, c, w + j]
+    for j in range(2 * P + 1):
+        xs_ref[j] = xv_ref[:, :, j: j + wp]
+
+    def tap_body(k, carry):
+        ky = k // 3 - 1
+        kx = k % 3 - 1
+        oy = jnp.clip(off_ref[0, pl.ds(2 * k, 1)][0], -R, R)
+        ox = jnp.clip(off_ref[0, pl.ds(2 * k + 1, 1)][0], -R, R)
+        mk = mask_ref[0, pl.ds(k, 1)][0]
+
+        s_ref[...] = jnp.zeros_like(s_ref)
+        for e in range(-R, R + 1):
+            wy = (_hat(oy - e) * mk)[:, None, :].astype(compute_dtype)
+            t_ref[...] = jnp.zeros_like(t_ref)
+            for f in range(-R, R + 1):
+                wx = _hat(ox - f)[:, None, :].astype(compute_dtype)
+                rows = xs_ref[pl.ds(P + kx + f, 1),
+                              pl.ds(P + ky + e, tile_h), :, :][0]
+                t_ref[...] += rows * wx
+            s_ref[...] += t_ref[...] * wy
+
+        # contract C (sublanes of both operands); rows emit (W, Co) = NHWC
+        for r in range(tile_h):
+            out_ref[0, r] += jax.lax.dot_general(
+                s_ref[r], w_ref[pl.ds(k, 1)][0],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:out_ref.shape[2]].astype(
+                out_ref.dtype)
+        return carry
+
+    out_ref[0] = jnp.zeros_like(out_ref[0])
+    jax.lax.fori_loop(0, 9, tap_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_v3(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
+                  weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+                  max_offset: int = 2, compute_dtype=None) -> jnp.ndarray:
+    """NHWC modulated deformable conv, v3 (C-sublane/W-lane) kernel.
+
+    Same contract as ops.dcn_pallas_v2.dcn_pallas_v2: x (B,H,W,C); offset
+    (B,H,W,18) interleaved (dy,dx); mask (B,H,W,9) post-sigmoid;
+    weight (3,3,C,Co).  Returns (B,H,W,Co) in x.dtype.
+    """
+    B, H, W, C = x.shape
+    Co = weight.shape[-1]
+    R = max_offset
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    P, tile_h, pad_h, Hp, win_h, wp, wp2f, Cs, _ = _dims(H, W, C, Co, R)
+
+    # x to (B, Hp + 2P, Cs, wp2f): C on sublanes, W on lanes
+    xt = jnp.pad(x.astype(compute_dtype),
+                 ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, Cs - C)))
+    xt = jnp.transpose(xt, (0, 1, 3, 2))
+    # offset/mask maps lane-padded to wp so the hat maps broadcast directly
+    # against the (tile_h, Cs, wp) accumulators
+    off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+    mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, pad_h), (0, wp - W)))
+    mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, wp - W)))
+    w_t = jnp.pad(weight.reshape(9, C, Co).astype(compute_dtype),
+                  ((0, 0), (0, Cs - C), (0, 0)))
+
+    kernel = functools.partial(_fwd3_kernel, tile_h=tile_h, max_offset=R,
+                               compute_dtype=compute_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hp // tile_h),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 18, tile_h, wp), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, wp), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((9, Cs, Co), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, W, Co), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, Cs, wp2f), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, Cs, wp), compute_dtype),
+            pltpu.VMEM((tile_h, Cs, wp), compute_dtype),
+            pltpu.VMEM((tile_h, Cs, wp), compute_dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(xt, off_t, mask_t, w_t)
+
+    out = out[:, :H]
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel 1: dx — mirrored window over source pixels
+# ---------------------------------------------------------------------------
+
+
+def _dx3_kernel(g_hbm, offh_hbm, maskh_hbm, w_ref, dx_ref,
+                gv_ref, uv_ref, us_ref, offh_ref, maskh_ref, hxm_ref,
+                wmap_ref, acc_ref, sem,
+                *, tile_h, max_offset, compute_dtype):
+    """dx[q] = sum_k sum_d hatw_{k,d}(q-d) m_k(q-d) u_k(q-d), u_k = g W_k^T.
+
+    v3 layout: g halo (win_h, Co, wp2) rows untiled, u_k formed per-row on
+    the MXU ((C,Co) @ (Co, wp2)), pre-shifted into 2P+1 lane-aligned copies.
+    The per-source-pixel weight maps live compact ((win_h8, wp2o) rows on
+    sublanes); tap-dependent row/col extraction is dynamic positive
+    pltpu.roll + static slice, and the map application is the cheap
+    [:, None, :] sublane broadcast."""
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+    win_h = gv_ref.shape[0]
+    wp = acc_ref.shape[-1]
+
+    win_h8 = offh_ref.shape[1]
+    for src, dst in ((g_hbm, gv_ref), (offh_hbm, offh_ref),
+                     (maskh_hbm, maskh_ref)):
+        cp = pltpu.make_async_copy(src.at[b, pl.ds(row0, win_h)]
+                                   if src is g_hbm else
+                                   src.at[b, :, pl.ds(row0, win_h8), :],
+                                   dst, sem)
+        cp.start()
+        cp.wait()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def tap_body(k, carry):
+        ky = k // 3 - 1
+        kx = k % 3 - 1
+        # u_k[c, w] = sum_co W_k[c, co] g[co, w]: per-row MXU matmul
+        # contracting the SUBLANE dim of both operands (w_ref holds W_k^T)
+        for r in range(win_h):
+            uv_ref[r] = jax.lax.dot_general(
+                w_ref[pl.ds(k, 1)][0], gv_ref[r],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(uv_ref.dtype)
+        for j in range(2 * P + 1):
+            us_ref[j] = uv_ref[:, :, j: j + wp]
+
+        oyh = jnp.clip(offh_ref[pl.ds(2 * k, 1)][0], -R, R)   # (win_h8, wp2o)
+        oxh = jnp.clip(offh_ref[pl.ds(2 * k + 1, 1)][0], -R, R)
+        mh = maskh_ref[pl.ds(k, 1)][0]
+        # hat_x * mask maps depend only on f: hoist out of the inner loop
+        for j, f in enumerate(range(-R, R + 1)):
+            hxm_ref[j] = _hat(oxh - f) * mh
+        for e in range(-R, R + 1):              # dy = ky + e
+            wyh = _hat(oyh - e)
+            for j, f in enumerate(range(-R, R + 1)):   # dx = kx + f
+                # weight-map window rows [8-dy, 8-dy+tile_h) x cols
+                # [P-dx, P-dx+wp): dynamic roll to the origin + static slice
+                # (rows are sublanes: dynamic starts are illegal).  Shifts
+                # biased positive: pltpu.roll with a NEGATIVE dynamic shift
+                # silently corrupts data on v5e (docs/DESIGN.md item 8)
+                wm = pltpu.roll(wyh * hxm_ref[j],
+                                shift=(ky + e) - 8 + win_h8, axis=0)
+                wm = pltpu.roll(wm, shift=(kx + f) - P + wyh.shape[1], axis=1)
+                wmap_ref[...] = wm[:tile_h, :wp]
+                rows = us_ref[pl.ds(P - kx - f, 1),
+                              pl.ds(P - ky - e, tile_h)][0]
+                acc_ref[...] += (rows * wmap_ref[...][:, None, :].astype(
+                    compute_dtype))
+        return carry
+
+    jax.lax.fori_loop(0, 9, tap_body, 0)
+    # emitted in kernel layout (tile_h, Cs, wp); XLA transposes to NHWC
+    # outside (an in-kernel per-row transpose is exactly the relayout class
+    # this kernel generation exists to avoid)
+    dx_ref[0] = acc_ref[...].astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_v3_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
+                         compute_dtype=None):
+    """Gradient w.r.t. x for the v3 DCN (x only supplies shape/dtype)."""
+    B, H, W, C = x.shape
+    Co = weight.shape[-1]
+    R = max_offset
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    P, tile_h, pad_h, Hp, win_h, wp, wp2f, Cs, Cos = _dims(H, W, C, Co, R)
+
+    # g halo to (B, Hp + 2P, Cos, wp2f): Co on sublanes, W on lanes
+    gt = jnp.pad(g.astype(compute_dtype),
+                 ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, Cos - Co)))
+    gt = jnp.transpose(gt, (0, 1, 3, 2))
+    # compact per-pixel maps with 8-row guard bands (rows on sublanes); the
+    # minor dim of these manually-DMA'd buffers must be 128-lane aligned
+    wp2o = wp2f                       # already a 128 multiple
+    off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+    mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (8, 8 + pad_h), (P, wp2o - W - P)))
+    mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (8, 8 + pad_h),
+                              (P, wp2o - W - P)))
+    # W_k^T as (9, Cos, Cs): u contracts the sublane dim of both operands
+    w_t = jnp.pad(
+        jnp.transpose(weight.reshape(9, C, Co), (0, 2, 1)).astype(
+            compute_dtype),
+        ((0, 0), (0, Cos - Co), (0, Cs - C)))
+
+    kernel = functools.partial(_dx3_kernel, tile_h=tile_h, max_offset=R,
+                               compute_dtype=compute_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hp // tile_h),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, Cos, Cs), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, Cs, wp), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Cs, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, Cos, wp2f), compute_dtype),
+            pltpu.VMEM((win_h, Cs, wp2f), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, Cs, wp), compute_dtype),
+            pltpu.VMEM((18, tile_h + 16, wp2o), jnp.float32),
+            pltpu.VMEM((9, tile_h + 16, wp2o), jnp.float32),
+            pltpu.VMEM((2 * P + 1, tile_h + 16, wp2o), jnp.float32),
+            pltpu.VMEM((tile_h, wp), jnp.float32),
+            pltpu.VMEM((tile_h, Cs, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(gt, off_t, mask_t, w_t)
+    # kernel layout (B, Hp, Cs, wp) -> NHWC
+    return jnp.transpose(out, (0, 1, 3, 2))[:, :H, :W, :C].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel 2: fused dmask + dW + doffset in a single window sweep
+# ---------------------------------------------------------------------------
+
+
+def _dwmo3_kernel(x_hbm, off_ref, mask_ref, g_ref, w_ref,
+                  dmask_ref, dw_ref, doff_ref,
+                  xv_ref, xs_ref, u_ref, s_ref, sy_ref, sx_ref, t_ref, td_ref,
+                  dwacc_ref, sem,
+                  *, tile_h, max_offset, compute_dtype):
+    """dmask_k = <S_k, u_k>_C, dW_k = (S_k m_k) g^T, doff from SY/SX — one
+    window sweep accumulates S (hat*hat), SY (hat'*hat), SX (hat*hat').
+
+    v3 layout: channel reductions are SUBLANE reductions emitting (tile_h, W)
+    maps that write straight to the compact outputs; the dW contraction is a
+    per-row (Cs, wp) x (Cos, wp)^T MXU matmul (contracting the lane dim)."""
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+    wp = xs_ref.shape[-1]
+
+    cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(row0, xv_ref.shape[0])],
+                               xv_ref, sem)
+    cp.start()
+    cp.wait()
+    for j in range(2 * P + 1):
+        xs_ref[j] = xv_ref[:, :, j: j + wp]
+
+    def tap_body(k, carry):
+        ky = k // 3 - 1
+        kx = k % 3 - 1
+        # u_k[c, w] = sum_co W_k[c, co] g[co, w]: per-row MXU matmul
+        # contracting the SUBLANE dim of both operands (w_ref holds W_k^T)
+        for r in range(tile_h):
+            u_ref[r] = jax.lax.dot_general(
+                w_ref[pl.ds(k, 1)][0], g_ref[0, r],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(u_ref.dtype)
+        oy_raw = off_ref[0, pl.ds(2 * k, 1)][0]
+        ox_raw = off_ref[0, pl.ds(2 * k + 1, 1)][0]
+        oy = jnp.clip(oy_raw, -R, R)
+        ox = jnp.clip(ox_raw, -R, R)
+        mk = mask_ref[0, pl.ds(k, 1)][0]
+
+        s_ref[...] = jnp.zeros_like(s_ref)
+        sy_ref[...] = jnp.zeros_like(sy_ref)
+        sx_ref[...] = jnp.zeros_like(sx_ref)
+        for e in range(-R, R + 1):          # dy = ky + e
+            wy = _hat(oy - e)[:, None, :].astype(compute_dtype)
+            wyd = _dhat(oy - e)[:, None, :].astype(compute_dtype)
+            t_ref[...] = jnp.zeros_like(t_ref)
+            td_ref[...] = jnp.zeros_like(td_ref)
+            for f in range(-R, R + 1):      # dx = kx + f
+                wx = _hat(ox - f)[:, None, :].astype(compute_dtype)
+                wxd = _dhat(ox - f)[:, None, :].astype(compute_dtype)
+                rows = xs_ref[pl.ds(P + kx + f, 1),
+                              pl.ds(P + ky + e, tile_h), :, :][0]
+                t_ref[...] += rows * wx
+                td_ref[...] += rows * wxd
+            s_ref[...] += t_ref[...] * wy
+            sx_ref[...] += td_ref[...] * wy
+            sy_ref[...] += t_ref[...] * wyd
+
+        u32 = u_ref[...].astype(jnp.float32)
+        # channel inner products: sublane reductions -> (tile_h, wp)
+        dmask_ref[0, pl.ds(k, 1)] = jnp.sum(
+            s_ref[...].astype(jnp.float32) * u32, axis=1)[None]
+        doff_ref[0, pl.ds(2 * k, 1)] = (jnp.sum(
+            sy_ref[...].astype(jnp.float32) * u32, axis=1)
+            * mk * (jnp.abs(oy_raw) <= R).astype(jnp.float32))[None]
+        doff_ref[0, pl.ds(2 * k + 1, 1)] = (jnp.sum(
+            sx_ref[...].astype(jnp.float32) * u32, axis=1)
+            * mk * (jnp.abs(ox_raw) <= R).astype(jnp.float32))[None]
+        # dW_k: contract pixels — per-row (Cs, wp) x (Cos, wp)^T on the MXU
+        mkb = mk[:, None, :].astype(compute_dtype)
+        dwacc_ref[...] = jnp.zeros_like(dwacc_ref)
+        for r in range(tile_h):
+            dwacc_ref[...] += jax.lax.dot_general(
+                (s_ref[r] * mkb[r]), g_ref[0, r],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        dw_ref[0, 0, pl.ds(k, 1)] = dwacc_ref[...][None]
+        return carry
+
+    jax.lax.fori_loop(0, 9, tap_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+def dcn_pallas_v3_bwd_dwmo(x, offset, mask, weight, g, max_offset: int = 2,
+                           compute_dtype=None):
+    """Fused mask + weight + offset gradients; returns (dmask, dw, doff)."""
+    B, H, W, C = x.shape
+    Co = weight.shape[-1]
+    R = max_offset
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    P, tile_h, pad_h, Hp, win_h, wp, wp2f, Cs, Cos = _dims(H, W, C, Co, R)
+    n_tiles = Hp // tile_h
+
+    xt = jnp.pad(x.astype(compute_dtype),
+                 ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, Cs - C)))
+    xt = jnp.transpose(xt, (0, 1, 3, 2))
+    off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
+    mask_t = jnp.transpose(mask, (0, 3, 1, 2)).astype(jnp.float32)
+    off_t = jnp.pad(off_t, ((0, 0), (0, 0), (0, pad_h), (0, wp - W)))
+    mask_t = jnp.pad(mask_t, ((0, 0), (0, 0), (0, pad_h), (0, wp - W)))
+    # g tiles in (B, Hp, Cos, wp) layout
+    gt = jnp.pad(g.astype(compute_dtype),
+                 ((0, 0), (0, pad_h), (0, wp - W), (0, Cos - Co)))
+    gt = jnp.transpose(gt, (0, 1, 3, 2))
+    # W_k^T as (9, Cos, Cs): u contracts the sublane dim of both operands
+    w_t = jnp.pad(
+        jnp.transpose(weight.reshape(9, C, Co), (0, 2, 1)).astype(
+            compute_dtype),
+        ((0, 0), (0, Cos - Co), (0, Cs - C)))
+
+    kernel = functools.partial(_dwmo3_kernel, tile_h=tile_h, max_offset=R,
+                               compute_dtype=compute_dtype)
+    dmask, dw, doff = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 18, tile_h, wp), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 9, tile_h, wp), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, tile_h, Cos, wp), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((9, Cos, Cs), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=[
+            # tap axis on an untiled dim (dynamic per-tap writes from the
+            # fori_loop body); transposed to NHWC below
+            pl.BlockSpec((1, 9, tile_h, wp), lambda b, h: (b, 0, h, 0)),
+            pl.BlockSpec((1, 1, 9, Cs, Cos), lambda b, h: (b, h, 0, 0, 0)),
+            pl.BlockSpec((1, 18, tile_h, wp), lambda b, h: (b, 0, h, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 9, Hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_tiles, 9, Cs, Cos), jnp.float32),
+            jax.ShapeDtypeStruct((B, 18, Hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((win_h, Cs, wp2f), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, Cs, wp), compute_dtype),
+            pltpu.VMEM((tile_h, Cs, wp), compute_dtype),   # u
+            pltpu.VMEM((tile_h, Cs, wp), compute_dtype),   # s
+            pltpu.VMEM((tile_h, Cs, wp), compute_dtype),   # sy
+            pltpu.VMEM((tile_h, Cs, wp), compute_dtype),   # sx
+            pltpu.VMEM((tile_h, Cs, wp), compute_dtype),   # t
+            pltpu.VMEM((tile_h, Cs, wp), compute_dtype),   # td
+            pltpu.VMEM((Cs, Cos), jnp.float32),            # dW accumulator
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(xt, off_t, mask_t, gt, w_t)
+    dmask = jnp.transpose(dmask, (0, 2, 3, 1))[:, :H, :W].astype(mask.dtype)
+    doff = jnp.transpose(doff, (0, 2, 3, 1))[:, :H, :W].astype(offset.dtype)
+    dw = jnp.sum(dw, axis=(0, 1))[:, :C, :Co].reshape(
+        3, 3, C, Co).astype(weight.dtype)
+    return dmask, dw, doff
+
+
+def dcn_pallas_v3_bwd(x, offset, mask, weight, g, max_offset: int = 2,
+                      compute_dtype=None):
+    """All five gradients via the v3 kernels."""
+    dx = dcn_pallas_v3_bwd_dx(x, offset, mask, weight, g,
+                              max_offset=max_offset,
+                              compute_dtype=compute_dtype)
+    dmask, dw, doff = dcn_pallas_v3_bwd_dwmo(
+        x, offset, mask, weight, g, max_offset=max_offset,
+        compute_dtype=compute_dtype)
+    db = jnp.sum(g, axis=(0, 1, 2))
+    return dx, doff, dmask, dw, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def dcn_pallas_v3_vjp(x, offset, mask, weight, bias, max_offset: int = 2):
+    """v3 forward + v3 backward kernels."""
+    return dcn_pallas_v3(x, offset, mask, weight, bias, max_offset=max_offset)
+
+
+def _fwd(x, offset, mask, weight, bias, max_offset):
+    out = dcn_pallas_v3(x, offset, mask, weight, bias, max_offset=max_offset)
+    return out, (x, offset, mask, weight)
+
+
+def _bwd(max_offset, residuals, g):
+    x, offset, mask, weight = residuals
+    return dcn_pallas_v3_bwd(x, offset, mask, weight, g,
+                             max_offset=max_offset)
+
+
+dcn_pallas_v3_vjp.defvjp(_fwd, _bwd)

@@ -1,0 +1,100 @@
+"""Pallas DCN v3 kernel (C-sublane/W-lane layout) vs the XLA oracle.
+
+v3 is a performance relayout of the v2 kernels (docs/DESIGN.md round-3
+ablation: the v2 hat-map relayout was 82% of the kernel), so parity against
+modulated_deform_conv_shift pins that the layout change preserved the math.
+Interpret-mode only — on-device parity runs via
+tools/compile_v2_kernels.py --impl v3 --oracle (the dynamic-roll hazard
+class is invisible to interpret mode; docs/DESIGN.md item 8).
+"""
+
+import jax
+import jax.experimental.pallas as pl
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import monoflex_tpu.ops.dcn_pallas_v3 as DP3
+from monoflex_tpu.ops.dcn import modulated_deform_conv_shift
+
+pytestmark = pytest.mark.slow  # heavy integration: skip via -m 'not slow'
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(DP3.pl, "pallas_call", patched)
+
+
+def make_inputs(seed=0, B=2, H=16, W=32, C=8, Co=8):
+    rng = np.random.RandomState(seed)
+    return (
+        jnp.asarray(rng.randn(B, H, W, C).astype(np.float32)),
+        jnp.asarray((rng.randn(B, H, W, 18) * 1.5).astype(np.float32)),
+        jnp.asarray(rng.rand(B, H, W, 9).astype(np.float32)),
+        jnp.asarray(rng.randn(3, 3, C, Co).astype(np.float32) * 0.1),
+        jnp.asarray(rng.randn(Co).astype(np.float32)),
+    )
+
+
+@pytest.mark.parametrize("R", [1, 2, 3])
+def test_v3_forward_matches_oracle(R):
+    x, off, mask, w, b = make_inputs()
+    out = DP3.dcn_pallas_v3(x, off, mask, w, b, max_offset=R)
+    ref = modulated_deform_conv_shift(x, off, mask, w, b, max_offset=R)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_v3_non_divisible_shapes():
+    # H=13 pads to one 16-row tile; W=20 pads to 128 lanes; odd channels
+    for H, W, C, Co in ((13, 32, 8, 8), (40, 20, 8, 16), (16, 32, 24, 8)):
+        x, off, mask, w, b = make_inputs(H=H, W=W, C=C, Co=Co)
+        out = DP3.dcn_pallas_v3(x, off, mask, w, b, max_offset=2)
+        ref = modulated_deform_conv_shift(x, off, mask, w, b, max_offset=2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, err_msg=f"{(H, W, C, Co)}")
+
+
+def test_v3_vjp_gradients_match_oracle():
+    # v3 forward + v3 backward kernels: all five grads vs jax.grad of the
+    # XLA oracle
+    x, off, mask, w, b = make_inputs(seed=2, B=1, H=16, W=16)
+
+    def loss_v3(*a):
+        return jnp.sum(jnp.sin(DP3.dcn_pallas_v3_vjp(*a, 2)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(modulated_deform_conv_shift(*a, max_offset=2)))
+
+    got = jax.grad(loss_v3, argnums=(0, 1, 2, 3, 4))(x, off, mask, w, b)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, off, mask, w, b)
+    names = ("dx", "doffset", "dmask", "dweight", "dbias")
+    for n, g, r in zip(names, got, want):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        np.testing.assert_allclose(np.asarray(g) / scale,
+                                   np.asarray(r) / scale,
+                                   atol=2e-3, err_msg=n)
+
+
+def test_v3_bwd_rect_channels():
+    # C != Co exercises the transposed-weight u path in both bwd kernels
+    x, off, mask, w, b = make_inputs(seed=3, B=1, H=16, W=32, C=16, Co=8)
+
+    def loss_v3(*a):
+        return jnp.sum(jnp.cos(DP3.dcn_pallas_v3_vjp(*a, 2)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.cos(modulated_deform_conv_shift(*a, max_offset=2)))
+
+    got = jax.grad(loss_v3, argnums=(0, 1, 2, 3))(x, off, mask, w, b)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, off, mask, w, b)
+    for n, g, r in zip(("dx", "doffset", "dmask", "dweight"), got, want):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        np.testing.assert_allclose(np.asarray(g) / scale,
+                                   np.asarray(r) / scale,
+                                   atol=2e-3, err_msg=n)

@@ -46,6 +46,18 @@ TRAIN_MIX_SHAPES = [
     (24, 80, 64, 64),
 ]
 
+# every distinct DCN instance of the full inference mix (all-Pallas neck)
+MODEL_SHAPES = [
+    (96, 320, 64, 64),    # ida_2 node_1..3, ida_up node_1..2 (5 calls)
+    (48, 160, 64, 64),    # ida_up proj_1
+    (48, 160, 128, 128),  # ida_1 node_1..2
+    (48, 160, 128, 64),   # ida_2 proj_1..3
+    (24, 80, 256, 128),   # ida_1 proj_1..2
+    (24, 80, 256, 256),   # ida_0 node_1
+    (24, 80, 64, 64),     # ida_up proj_2
+    (12, 40, 512, 256),   # ida_0 proj_1
+]
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -63,16 +75,21 @@ def main():
                     help="diff each packed kernel vs its unpacked twin ON "
                          "DEVICE (catches dynamic-roll corruption that "
                          "interpret mode cannot)")
+    ap.add_argument("--shapes", default="train",
+                    help="'train' (4-shape pallas2-fine mix) or 'model' "
+                         "(all 8 distinct inference instances)")
     ap.add_argument("--out", default="/tmp/compile_v2.jsonl")
     args = ap.parse_args()
 
     from monoflex_tpu.ops import dcn_pallas_v2 as V2
+    from monoflex_tpu.ops import dcn_pallas_v3 as V3
     from monoflex_tpu.ops.dcn import modulated_deform_conv_shift
 
     R = args.max_offset
     rng = np.random.RandomState(0)
 
-    for (H, W, C, Co) in TRAIN_MIX_SHAPES:
+    shapes = MODEL_SHAPES if args.shapes == "model" else TRAIN_MIX_SHAPES
+    for (H, W, C, Co) in shapes:
         B = args.batch
         x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
         off = jnp.asarray(rng.randn(B, H, W, 18) * 1.5, jnp.float32)
@@ -92,6 +109,12 @@ def main():
                                                     max_offset=R),
             "doff": lambda: V2.dcn_pallas_v2_bwd_doff(x, off, mask, w, g,
                                                       max_offset=R),
+            "fwd3": lambda: V3.dcn_pallas_v3(x, off, mask, w, bias,
+                                             max_offset=R),
+            "dx3": lambda: V3.dcn_pallas_v3_bwd_dx(x, off, mask, w, g,
+                                                   max_offset=R),
+            "dwmo3": lambda: V3.dcn_pallas_v3_bwd_dwmo(x, off, mask, w, g,
+                                                       max_offset=R),
         }
         if C == 64 and Co == 64 and W % 2 == 0:
             fns["packed"] = lambda: V2.dcn_pallas_v2_packed(
@@ -165,23 +188,31 @@ def main():
                 return jnp.vdot(V2.dcn_pallas_v2_vjp(
                     x, off, m, w, bias, R), g2)
 
-            rec = {"shape": [H, W, C, Co], "kernel": "vjp-parity", "batch": b2}
-            try:
-                ref = jax.grad(loss_shift, argnums=(0, 1, 2, 3, 4))(
-                    x2, off2, m2, w, bias)
-                got = jax.grad(loss_v2, argnums=(0, 1, 2, 3, 4))(
-                    x2, off2, m2, w, bias)
-                for name, r, t in zip(("dx", "doff", "dmask", "dw", "db"),
-                                      ref, got):
-                    denom = float(jnp.max(jnp.abs(r))) or 1.0
-                    rec[f"relerr_{name}"] = round(
-                        float(jnp.max(jnp.abs(r - t))) / denom, 6)
-            except Exception:  # noqa: BLE001
-                rec["error"] = traceback.format_exc()[-1600:]
-            line = json.dumps(rec)
-            print(line, flush=True)
-            with open(args.out, "a") as f:
-                f.write(line + "\n")
+            def loss_v3(x, off, m, w, bias):
+                return jnp.vdot(V3.dcn_pallas_v3_vjp(
+                    x, off, m, w, bias, R), g2)
+
+            impls = {"vjp-parity": loss_v2}
+            if any(k.endswith("3") for k in args.what.split(",")):
+                impls["vjp-parity-v3"] = loss_v3
+            for tag, loss_fn in impls.items():
+                rec = {"shape": [H, W, C, Co], "kernel": tag, "batch": b2}
+                try:
+                    ref = jax.grad(loss_shift, argnums=(0, 1, 2, 3, 4))(
+                        x2, off2, m2, w, bias)
+                    got = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+                        x2, off2, m2, w, bias)
+                    for name, r, t in zip(("dx", "doff", "dmask", "dw", "db"),
+                                          ref, got):
+                        denom = float(jnp.max(jnp.abs(r))) or 1.0
+                        rec[f"relerr_{name}"] = round(
+                            float(jnp.max(jnp.abs(r - t))) / denom, 6)
+                except Exception:  # noqa: BLE001
+                    rec["error"] = traceback.format_exc()[-1600:]
+                line = json.dumps(rec)
+                print(line, flush=True)
+                with open(args.out, "a") as f:
+                    f.write(line + "\n")
 
 
 if __name__ == "__main__":
