@@ -230,10 +230,12 @@ _C.TPU.MESH_AXES = ["data"]
 _C.TPU.COMPUTE_DTYPE = "float32"  # "bfloat16" for MXU-friendly mixed precision
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.USE_PALLAS_DCN = True      # Pallas deform-conv kernel vs pure-XLA gather
-_C.TPU.DCN_KERNEL_VERSION = 3     # 3 = C-sublane/W-lane relayout (4.0-7.0x
-                                  # device-measured over v2 on every model
-                                  # shape, oracle-parity clean; docs/DESIGN.md
-                                  # round-3), 2 = NHWC-native, 1 = C-sublanes
+_C.TPU.DCN_KERNEL_VERSION = 3     # 3 = C-sublane/W-lane relayout (fwd
+                                  # 2.5-7.0x device-measured over v2 across
+                                  # the 8 model shapes, 4.0x at the hot
+                                  # stride-4 shape; oracle-parity clean;
+                                  # docs/DESIGN.md round-3),
+                                  # 2 = NHWC-native, 1 = C-sublanes
 # override the platform-automatic DCN implementation choice
 # ("" = auto; shift | gather | pallas | pallas2 | pallas2p | pallas3 | none):
 # force the clamped shift semantics on CPU for offset-clamp ablations;
