@@ -230,6 +230,12 @@ _C.TPU.MESH_AXES = ["data"]
 _C.TPU.COMPUTE_DTYPE = "float32"  # "bfloat16" for MXU-friendly mixed precision
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.USE_PALLAS_DCN = True      # Pallas deform-conv kernel vs pure-XLA gather
+# space-to-depth stem: bit-equivalent relayout of the 7x7/level0/level1
+# convs onto half-resolution with pixel phases in channels (MXU-shaped
+# contractions, no full-res intermediates; models/backbone/packed_stem.py).
+# Same parameter tree — checkpoints are interchangeable with the
+# unpacked stem.
+_C.TPU.PACKED_STEM = True
 _C.TPU.DCN_KERNEL_VERSION = 3     # 3 = C-sublane/W-lane relayout (fwd
                                   # 2.5-7.0x device-measured over v2 across
                                   # the 8 model shapes, 4.0x at the hot

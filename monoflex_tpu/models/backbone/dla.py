@@ -218,11 +218,17 @@ class DLA(nn.Module):
     block: str = "basic"
     cardinality: int = 32
     dtype: Any = jnp.float32
+    packed_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
         ch = self.channels
         x = x.astype(self.dtype)
+        B, H, W, Cin = x.shape
+        if (self.packed_stem and self.levels[0] == 1 and self.levels[1] == 1
+                and H % 2 == 0 and W % 2 == 0):
+            return self._packed_call(x, train)
+
         # stem: 7x7 stride-1
         x = nn.Conv(ch[0], (7, 7), padding=[(3, 3), (3, 3)], use_bias=False,
                     dtype=self.dtype)(x)
@@ -240,6 +246,43 @@ class DLA(nn.Module):
             y = ConvBnRelu(ch[1], stride=2 if i == 0 else 1,
                            dtype=self.dtype)(y, train=train)
         outputs.append(y)
+        return self._trees(y, outputs, train)
+
+    def _packed_call(self, x, train: bool) -> List[jnp.ndarray]:
+        """Space-to-depth stem (ops/packed_stem.py): identical math to the
+        unpacked branch with an identical parameter tree, but every
+        full-resolution conv runs at half resolution with phases packed into
+        channels (MXU-shaped contractions, no full-res intermediates; the
+        full-res level0 output is unpacked lazily and DCE'd when unused)."""
+        from .packed_stem import (PackedConvBnRelu, PackedDownConvBnRelu,
+                                  bn_relu_packed, depth_to_space,
+                                  pack_kernel, space_to_depth)
+        from .packed_stem import _Kernel
+
+        ch = self.channels
+        cin = x.shape[-1]
+        xp = space_to_depth(x)
+        w7 = _Kernel((7, 7, cin, ch[0]), name="Conv_0")()
+        y = jax.lax.conv_general_dilated(
+            xp, pack_kernel(w7.astype(self.dtype), Kp=5, phases_out=True),
+            window_strides=(1, 1), padding=((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        bn = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                          epsilon=1e-5, dtype=self.dtype, name="BatchNorm_0")
+        y = bn_relu_packed(y, ch[0], bn)
+
+        outputs = []
+        y = PackedConvBnRelu(ch[0], ch[0], BN_MOMENTUM, dtype=self.dtype,
+                             name="ConvBnRelu_0")(y, train=train)
+        outputs.append(depth_to_space(y))
+        y = PackedDownConvBnRelu(ch[1], ch[0], BN_MOMENTUM, dtype=self.dtype,
+                                 name="ConvBnRelu_1")(y, train=train)
+        outputs.append(y)
+        return self._trees(y, outputs, train)
+
+    def _trees(self, y, outputs: List[jnp.ndarray], train: bool
+               ) -> List[jnp.ndarray]:
+        ch = self.channels
         # levels 2-5: aggregation trees
         for lv in range(2, 6):
             y = Tree(self.levels[lv], ch[lv - 1], ch[lv], 2,
@@ -474,6 +517,7 @@ class DLASeg(nn.Module):
     dcn_max_offsets: Any = None      # Optional[Tuple[int, int, int, int]]
     dtype: Any = jnp.float32
     remat: bool = False
+    packed_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> jnp.ndarray:
@@ -483,7 +527,7 @@ class DLASeg(nn.Module):
         # the flagship 384x1280/batch-8 config (cfg.TPU.REMAT_BACKBONE)
         trunk_cls = (nn.remat(DLA, static_argnums=(2,)) if self.remat else DLA)
         feats = trunk_cls(self.levels, self.channels, dtype=self.dtype,
-                          name="base")(x, train)
+                          packed_stem=self.packed_stem, name="base")(x, train)
         # neck runs in the compute dtype; the Pallas DCN kernel accumulates
         # f32 either way and picks bf16 window math when fed bf16
         feats = [f.astype(self.dtype) for f in feats]
@@ -567,4 +611,5 @@ def build_backbone(cfg):
                   dcn_max_offset=cfg.TPU.DCN_MAX_OFFSET,
                   dcn_max_offsets=per_stage,
                   dtype=dtype,
-                  remat=bool(cfg.TPU.REMAT_BACKBONE))
+                  remat=bool(cfg.TPU.REMAT_BACKBONE),
+                  packed_stem=bool(cfg.TPU.PACKED_STEM))
