@@ -236,6 +236,9 @@ _C.TPU.USE_PALLAS_DCN = True      # Pallas deform-conv kernel vs pure-XLA gather
 # Same parameter tree — checkpoints are interchangeable with the
 # unpacked stem.
 _C.TPU.PACKED_STEM = True
+# TPU-native ApproxTopK (recall 0.99) for the stage-1 decode top-k; exact
+# sort elsewhere (and always on CPU, preserving decode bit-parity there)
+_C.TPU.DECODE_APPROX_TOPK = True
 _C.TPU.DCN_KERNEL_VERSION = 3     # 3 = C-sublane/W-lane relayout (fwd
                                   # 2.5-7.0x device-measured over v2 across
                                   # the 8 model shapes, 4.0x at the hot

@@ -53,6 +53,7 @@ class PostProcessor:
         self.depth_with_uncertainty = "depth_uncertainty" in self.k2c
         self.regress_keypoints = "corner_offset" in self.k2c
         self.keypoint_depth_with_uncertainty = "corner_uncertainty" in self.k2c
+        self.approx_topk = bool(getattr(cfg.TPU, "DECODE_APPROX_TOPK", False))
 
     def __call__(self, predictions: Dict[str, jnp.ndarray], batch: Dict[str, jnp.ndarray],
                  output_depth: str | None = None) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
@@ -60,7 +61,8 @@ class PostProcessor:
         k2c = self.k2c
         K = self.max_detection
         heatmap = nms_hm(predictions["cls"])
-        scores, flat_inds, clses, ys, xs = select_topk(heatmap, K)   # (B, K)
+        scores, flat_inds, clses, ys, xs = select_topk(
+            heatmap, K, approx=self.approx_topk)                     # (B, K)
         B = scores.shape[0]
         N = B * K
 

@@ -29,17 +29,28 @@ def nms_hm(heatmap: jnp.ndarray, kernel: int = 3) -> jnp.ndarray:
     return heatmap * (hmax == heatmap).astype(heatmap.dtype)
 
 
-def select_topk(heatmap: jnp.ndarray, k: int = 50
+def select_topk(heatmap: jnp.ndarray, k: int = 50, approx: bool = False
                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Two-stage top-k over a (B, H, W, C) heatmap.
 
     Stage 1 picks k peaks per class, stage 2 picks k overall
     (reference: model/layers/utils.py:61-100).
     Returns (scores, flat_spatial_index, cls, ys, xs), each (B, k).
+
+    approx=True uses the TPU-native ApproxTopK (recall target 0.99) for the
+    big stage-1 reduction — the full sort of H*W scores is the single
+    slowest decode op on TPU, and the score tail beyond the NMS-suppressed
+    peaks is near-zero background either way.  Only takes effect on TPU
+    (other backends lower ApproxTopK to an exact sort anyway; keeping the
+    exact path preserves decode bit-parity on CPU).
     """
     B, H, W, C = heatmap.shape
     hm = jnp.transpose(heatmap, (0, 3, 1, 2)).reshape(B, C, H * W)
-    scores_all, inds_all = jax.lax.top_k(hm, k)               # (B, C, k)
+    if approx and jax.default_backend() == "tpu":
+        scores_all, inds_all = jax.lax.approx_max_k(
+            hm, k, recall_target=0.99)                        # (B, C, k)
+    else:
+        scores_all, inds_all = jax.lax.top_k(hm, k)           # (B, C, k)
 
     ys_all = (inds_all // W).astype(jnp.float32)
     xs_all = (inds_all % W).astype(jnp.float32)

@@ -191,3 +191,16 @@ class TestImageOps:
         assert float(res[0, 3, 3, 1]) == 1.0
         assert float(res[0].sum()) == 4.0  # only 2 valid pixels x 2 channels
         assert float(res[1].sum()) == 0.0  # edge_len 0 -> nothing added
+
+
+def test_select_topk_approx_flag_cpu_exact():
+    """approx=True must be a no-op off-TPU (exact path, bit-equal decode)."""
+    import numpy as np
+    from monoflex_tpu.ops.image_ops import select_topk
+
+    rng = np.random.RandomState(0)
+    hm = jnp.asarray(rng.rand(2, 24, 80, 3).astype(np.float32))
+    exact = select_topk(hm, 50, approx=False)
+    approx = select_topk(hm, 50, approx=True)
+    for a, b in zip(exact, approx):
+        assert jnp.array_equal(a, b)
