@@ -77,8 +77,15 @@ def select_point_of_interest(feature_map: jnp.ndarray, index: jnp.ndarray) -> jn
     if index.ndim == 3:
         index = index[..., 1] * W + index[..., 0]
     index = jnp.clip(index.astype(jnp.int32), 0, H * W - 1)
-    flat = feature_map.reshape(B, H * W, C)
-    return jnp.take_along_axis(flat, index[..., None], axis=1)
+    ys = index // W
+    xs = index % W
+    # Gather (y, x) rows from the 4-D map directly rather than via a
+    # reshape(B, H*W, C): the flattening reshape is NOT a bitcast for the
+    # layouts XLA picks for head-conv outputs (batch-minor), so it
+    # materialized a full-map relayout copy per gathered map (~2.5 ms/iter
+    # of the TPU inference step).  A 4-D gather of [1,1,C] slices consumes
+    # the producer's native layout.
+    return jax.vmap(lambda fm, y, x: fm[y, x, :])(feature_map, ys, xs)
 
 
 def gather_edge_features(feature_map: jnp.ndarray, edge_indices: jnp.ndarray) -> jnp.ndarray:
@@ -106,8 +113,14 @@ def scatter_add_edge(output: jnp.ndarray, edge_indices: jnp.ndarray,
     vals = edge_values * valid[..., None]
     flat_idx = edge_indices[..., 1] * W + edge_indices[..., 0]
     flat_idx = jnp.clip(flat_idx.astype(jnp.int32), 0, H * W - 1)
+    ys = flat_idx // W
+    xs = flat_idx % W
 
-    def per_image(out_img, idx, v):
-        return out_img.reshape(H * W, C).at[idx].add(v).reshape(H, W, C)
+    # Scatter-add at (y, x) on the 4-D map directly: the reshape(H*W, C)
+    # round-trip forced a full-map relayout copy (see
+    # select_point_of_interest); a 2-D-indexed scatter consumes the
+    # producer's native layout.  Duplicate indices still accumulate.
+    def per_image(out_img, y, x, v):
+        return out_img.at[y, x, :].add(v)
 
-    return jax.vmap(per_image)(output, flat_idx, vals)
+    return jax.vmap(per_image)(output, ys, xs, vals)
