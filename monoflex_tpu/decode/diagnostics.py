@@ -35,7 +35,11 @@ class DiagnosticEvaluator:
         self.dim_mode = h.DIMENSION_REG
 
     def _poi(self, batch, reg_map):
-        B, H, W, C = reg_map.shape
+        if isinstance(reg_map, (list, tuple)):
+            B = reg_map[0].shape[0]
+            C = sum(m.shape[-1] for m in reg_map)
+        else:
+            B, _, _, C = reg_map.shape
         M = batch["reg_mask"].shape[1]
         N = B * M
         poi = select_point_of_interest(reg_map, batch["target_centers"]).reshape(N, C)

@@ -82,7 +82,11 @@ class LossComputer:
         k2c = self.k2c
         w = self.loss_weights
         reg_map = predictions["reg"]
-        B, H, W, C = reg_map.shape
+        if isinstance(reg_map, (list, tuple)):
+            B, H, W, _ = reg_map[0].shape
+            C = sum(m.shape[-1] for m in reg_map)
+        else:
+            B, H, W, C = reg_map.shape
         M = self.max_objs
         N = B * M
 

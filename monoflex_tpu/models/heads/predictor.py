@@ -166,9 +166,14 @@ class Predictor(nn.Module):
             reg_outputs[offset_out_index] = scatter_add_edge(
                 reg_outputs[offset_out_index], edge_indices, edge_off_out, edge_len)
 
+        # Per-head maps, NOT concatenated: every consumer point-gathers, and
+        # gathering each head then concatenating at (B, K, sum C) avoids the
+        # dense (B, H, W, 50) concat + layout copies (~2.1 ms/iter on TPU).
+        # Channel order matches Key2Channel (reg_outputs appended in
+        # REGRESSION_HEADS group order).
         return {
             "cls": sigmoid_hm(out_cls),
-            "reg": jnp.concatenate(reg_outputs, axis=-1),
+            "reg": tuple(reg_outputs),
         }
 
 

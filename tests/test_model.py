@@ -45,7 +45,9 @@ def test_forward_shapes(model_and_vars, small_inputs):
     images, edge, edge_len = small_inputs
     out = model.apply(variables, images, edge, edge_len, train=False)
     assert out["cls"].shape == (1, 16, 32, 3)
-    assert out["reg"].shape == (1, 16, 32, 50)
+    # per-head regression maps (concatenated only after point gathers)
+    assert all(m.shape[:3] == (1, 16, 32) for m in out["reg"])
+    assert sum(m.shape[-1] for m in out["reg"]) == 50
     cls = np.asarray(out["cls"])
     assert cls.min() >= 1e-4 and cls.max() <= 1 - 1e-4
 
