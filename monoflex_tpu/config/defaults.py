@@ -246,7 +246,9 @@ _C.TPU.DCN_KERNEL_VERSION = 3     # 3 = C-sublane/W-lane relayout (fwd
                                   # docs/DESIGN.md round-3),
                                   # 2 = NHWC-native, 1 = C-sublanes
 # override the platform-automatic DCN implementation choice
-# ("" = auto; shift | gather | pallas | pallas2 | pallas2p | pallas3 | none):
+# ("" = auto; shift | gather | pallas | pallas2 | pallas2p | pallas3 |
+#  pallas3b (v3 with bf16-shipped x: halved relayout/DMA bytes, f32 math) |
+#  none):
 # force the clamped shift semantics on CPU for offset-clamp ablations;
 # pallas2p lane-packs two pixels per 128-lane tile on C=Co=64 layers
 _C.TPU.DCN_FORCE_IMPL = ""

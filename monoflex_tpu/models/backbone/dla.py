@@ -341,15 +341,18 @@ class DCN(nn.Module):
                             (self.kernel, self.kernel, cin, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         simple_geom = (self.stride == 1 and self.dilation == 1 and self.kernel == 3)
-        if self.impl == "pallas3" and simple_geom:
+        if self.impl in ("pallas3", "pallas3b") and simple_geom:
             from ...ops.dcn_pallas_v3 import dcn_pallas_v3_vjp
 
             # third-generation layout (C on sublanes, W on lanes): the hat-map
             # application becomes a sublane broadcast instead of the v2
             # lane->sublane relayout that ate 82% of the v2 kernel
-            # (docs/DESIGN.md round-3 ablation; 4.4x at the hot shape)
+            # (docs/DESIGN.md round-3 ablation; 4.4x at the hot shape).
+            # "pallas3b" ships x in bf16 (halved relayout+DMA bytes; window
+            # math stays f32 — exact on the bf16-quantized input).
+            transfer = jnp.bfloat16 if self.impl == "pallas3b" else None
             return dcn_pallas_v3_vjp(x.astype(jnp.float32), offset, mask,
-                                     weight, bias, self.max_offset)
+                                     weight, bias, self.max_offset, transfer)
         if self.impl in ("pallas2", "pallas2p") and simple_geom:
             from ...ops.dcn_pallas_v2 import dcn_pallas_v2_vjp
 
@@ -412,27 +415,48 @@ def _bilinear_upsample_init(key, shape, dtype=jnp.float32):
 
 class BilinearUp(nn.Module):
     """Depthwise transposed conv, kernel 2f, stride f, pad f/2 (trainable,
-    bilinear-initialised).  Expressed as an input-dilated conv so XLA maps it
-    onto the standard conv path."""
+    bilinear-initialised; reference: model/backbone/dla_dcn.py:372-381).
+
+    Evaluated by exact phase decomposition rather than an input-dilated conv:
+    with kernel size 2f and stride f every output pixel receives exactly two
+    taps per axis, so output phase (a, b) is a 4-term per-channel weighted sum
+    of shifted copies of x, and the f*f phases interleave into the output.
+    The dilated depthwise conv cost ~3.3 ms/iter of the TPU inference step
+    (VPU conv + layout copies); the decomposition is fusable elementwise work
+    plus one interleave transpose.  Identical math for ANY kernel values (the
+    decomposition is algebraic, not bilinear-specific), pinned to the torch
+    ConvTranspose2d oracle by tests/test_op_golden.py."""
 
     factor: int
 
     @nn.compact
     def __call__(self, x):
         f = self.factor
-        c = x.shape[-1]
+        B, H, W, c = x.shape
         kernel = self.param("kernel", _bilinear_upsample_init, (2 * f, 2 * f, 1, c))
-        # conv_transpose(stride f, k=2f, pad=f/2) == lhs-dilated conv with the
-        # spatially flipped kernel and padding k-1-f/2 per side
-        pad = 2 * f - 1 - f // 2
-        return jax.lax.conv_general_dilated(
-            x, kernel[::-1, ::-1].astype(x.dtype),
-            window_strides=(1, 1),
-            padding=[(pad, pad), (pad, pad)],
-            lhs_dilation=(f, f),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c,
-        )
+        # ConvTranspose2d: out[y] = sum_i x[i] * K[y + p - f*i], 0 <= y+p-f*i < 2f.
+        # For y = f*m + a: the two valid taps are t = r_a and t = r_a + f with
+        # r_a = (a+p) % f, sources m + e_a and m + e_a - 1, e_a = (a+p) // f.
+        p = f // 2
+        k = kernel.astype(x.dtype)[:, :, 0, :]              # (2f, 2f, C)
+        xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # zero borders
+
+        def sh(dy, dx):
+            return xpad[:, 1 + dy:1 + dy + H, 1 + dx:1 + dx + W, :]
+
+        rows = []
+        for a in range(f):
+            ra, ea = (a + p) % f, (a + p) // f
+            cols = []
+            for b in range(f):
+                rb, eb = (b + p) % f, (b + p) // f
+                cols.append(k[ra, rb] * sh(ea, eb)
+                            + k[ra, rb + f] * sh(ea, eb - 1)
+                            + k[ra + f, rb] * sh(ea - 1, eb)
+                            + k[ra + f, rb + f] * sh(ea - 1, eb - 1))
+            rows.append(jnp.stack(cols, axis=0))
+        out = jnp.stack(rows, axis=0)                        # (f, f, B, H, W, C)
+        return out.transpose(2, 3, 0, 4, 1, 5).reshape(B, f * H, f * W, c)
 
 
 class IDAUp(nn.Module):
@@ -558,7 +582,12 @@ def default_dcn_impl(use_pallas: bool = True, kernel_version: int = 1) -> str:
     exact XLA gather path elsewhere (CPU/GPU gathers are fine)."""
     if jax.default_backend() == "tpu":
         if use_pallas:
-            return {1: "pallas", 2: "pallas2", 3: "pallas3"}[kernel_version]
+            # v3 default ships x in bf16 (pallas3b): device-validated exact
+            # parity vs the f32 kernel on the bf16-quantized input across all
+            # 8 model shapes, 7-15% faster (halved relayout+DMA bytes), and
+            # the synthetic accuracy gate is unchanged (3d@0.5 moderate
+            # 42.26 vs 42.24 f32; docs/DESIGN.md round-4)
+            return {1: "pallas", 2: "pallas2", 3: "pallas3b"}[kernel_version]
         return "shift"
     return "gather"
 

@@ -100,9 +100,13 @@ def _fwd3_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
         x_hbm.at[b, pl.ds(row0, xv_ref.shape[0])], xv_ref, sem)
     copy.start()
     copy.wait()
-    # pre-shifted column copies: xs[j][r, c, w] = xv[r, c, w + j]
+    # pre-shifted column copies: xs[j][r, c, w] = xv[r, c, w + j].  When x is
+    # shipped in a narrower transfer dtype (bf16 halves the HBM relayout +
+    # DMA bytes) the upcast to the f32 window math rides these copies for
+    # free; bf16->f32 is exact, so the kernel output is bit-identical to
+    # running the f32 kernel on a bf16-quantized x.
     for j in range(2 * P + 1):
-        xs_ref[j] = xv_ref[:, :, j: j + wp]
+        xs_ref[j] = xv_ref[:, :, j: j + wp].astype(xs_ref.dtype)
 
     def tap_body(k, carry):
         ky = k // 3 - 1
@@ -135,25 +139,34 @@ def _fwd3_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
     jax.lax.fori_loop(0, 9, tap_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype",
+                                              "transfer_dtype"))
 def dcn_pallas_v3(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
-                  max_offset: int = 2, compute_dtype=None) -> jnp.ndarray:
+                  max_offset: int = 2, compute_dtype=None,
+                  transfer_dtype=None) -> jnp.ndarray:
     """NHWC modulated deformable conv, v3 (C-sublane/W-lane) kernel.
 
     Same contract as ops.dcn_pallas_v2.dcn_pallas_v2: x (B,H,W,C); offset
     (B,H,W,18) interleaved (dy,dx); mask (B,H,W,9) post-sigmoid;
     weight (3,3,C,Co).  Returns (B,H,W,Co) in x.dtype.
+
+    transfer_dtype: dtype x is SHIPPED in (the XLA-side relayout to the
+    kernel layout and the HBM->VMEM DMA).  bf16 halves those bytes while the
+    window math stays in compute_dtype (upcast rides the in-VMEM shift
+    copies); output == the f32 kernel on jnp.asarray(x, transfer_dtype).
     """
     B, H, W, C = x.shape
     Co = weight.shape[-1]
     R = max_offset
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    if transfer_dtype is None:
+        transfer_dtype = compute_dtype
     P, tile_h, pad_h, Hp, win_h, wp, wp2f, Cs, _ = _dims(H, W, C, Co, R)
 
     # x to (B, Hp + 2P, Cs, wp2f): C on sublanes, W on lanes
-    xt = jnp.pad(x.astype(compute_dtype),
+    xt = jnp.pad(x.astype(transfer_dtype),
                  ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, Cs - C)))
     xt = jnp.transpose(xt, (0, 1, 3, 2))
     # offset/mask maps lane-padded to wp so the hat maps broadcast directly
@@ -182,7 +195,7 @@ def dcn_pallas_v3(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
         out_specs=pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, Co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win_h, Cs, wp2f), compute_dtype),
+            pltpu.VMEM((win_h, Cs, wp2f), transfer_dtype),
             pltpu.VMEM((2 * P + 1, win_h, Cs, wp), compute_dtype),
             pltpu.VMEM((tile_h, Cs, wp), compute_dtype),
             pltpu.VMEM((tile_h, Cs, wp), compute_dtype),
@@ -514,18 +527,21 @@ def dcn_pallas_v3_bwd(x, offset, mask, weight, g, max_offset: int = 2,
     return dx, doff, dmask, dw, db
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def dcn_pallas_v3_vjp(x, offset, mask, weight, bias, max_offset: int = 2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def dcn_pallas_v3_vjp(x, offset, mask, weight, bias, max_offset: int = 2,
+                      transfer_dtype=None):
     """v3 forward + v3 backward kernels."""
-    return dcn_pallas_v3(x, offset, mask, weight, bias, max_offset=max_offset)
+    return dcn_pallas_v3(x, offset, mask, weight, bias, max_offset=max_offset,
+                         transfer_dtype=transfer_dtype)
 
 
-def _fwd(x, offset, mask, weight, bias, max_offset):
-    out = dcn_pallas_v3(x, offset, mask, weight, bias, max_offset=max_offset)
+def _fwd(x, offset, mask, weight, bias, max_offset, transfer_dtype):
+    out = dcn_pallas_v3(x, offset, mask, weight, bias, max_offset=max_offset,
+                        transfer_dtype=transfer_dtype)
     return out, (x, offset, mask, weight)
 
 
-def _bwd(max_offset, residuals, g):
+def _bwd(max_offset, transfer_dtype, residuals, g):
     x, offset, mask, weight = residuals
     return dcn_pallas_v3_bwd(x, offset, mask, weight, g,
                              max_offset=max_offset)

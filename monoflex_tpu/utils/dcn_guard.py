@@ -30,7 +30,8 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import numpy as np
 
-BOUNDED_IMPLS = frozenset({"shift", "pallas", "pallas2", "pallas2p"})
+BOUNDED_IMPLS = frozenset(
+    {"shift", "pallas", "pallas2", "pallas2p", "pallas3", "pallas3b"})
 
 
 def _stage_of_path(path: str, n_stages: int) -> Optional[int]:

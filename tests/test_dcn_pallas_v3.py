@@ -50,6 +50,21 @@ def test_v3_forward_matches_oracle(R):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def test_v3_bf16_transfer_matches_quantized_oracle():
+    """transfer_dtype=bf16 ships x in bf16 but keeps f32 window math: the
+    output must equal the f32 oracle fed the bf16-quantized x (the upcast is
+    exact, so only the input quantization differs from the f32 path)."""
+    x, off, mask, w, b = make_inputs()
+    out = DP3.dcn_pallas_v3(x, off, mask, w, b, max_offset=2,
+                            transfer_dtype=jnp.bfloat16)
+    xq = x.astype(jnp.bfloat16).astype(jnp.float32)
+    ref = modulated_deform_conv_shift(xq, off, mask, w, b, max_offset=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # and it is NOT the unquantized result (the cast really happened)
+    ref_f32 = modulated_deform_conv_shift(x, off, mask, w, b, max_offset=2)
+    assert np.abs(np.asarray(out) - np.asarray(ref_f32)).max() > 1e-4
+
+
 def test_v3_non_divisible_shapes():
     # H=13 pads to one 16-row tile; W=20 pads to 128 lanes; odd channels
     for H, W, C, Co in ((13, 32, 8, 8), (40, 20, 8, 16), (16, 32, 24, 8)):

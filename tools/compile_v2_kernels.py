@@ -115,6 +115,11 @@ def main():
                                                    max_offset=R),
             "dwmo3": lambda: V3.dcn_pallas_v3_bwd_dwmo(x, off, mask, w, g,
                                                        max_offset=R),
+            # bf16-shipped x, f32 window math; must match fwd3 on the
+            # bf16-quantized input bitwise
+            "fwd3b": lambda: V3.dcn_pallas_v3(x, off, mask, w, bias,
+                                              max_offset=R,
+                                              transfer_dtype=jnp.bfloat16),
         }
         if C == 64 and Co == 64 and W % 2 == 0:
             fns["packed"] = lambda: V2.dcn_pallas_v2_packed(
@@ -143,6 +148,25 @@ def main():
 
                     ms, _ = device_time(fns[what], iters=args.iters)
                     rec["ms_device"] = round(ms, 3)
+            except Exception:  # noqa: BLE001
+                rec["error"] = traceback.format_exc()[-1600:]
+            line = json.dumps(rec)
+            print(line, flush=True)
+            with open(args.out, "a") as f:
+                f.write(line + "\n")
+
+        if "fwd3b" in args.what.split(","):
+            # on-device parity: fwd3b == fwd3 on the bf16-quantized x
+            rec = {"shape": [H, W, C, Co], "kernel": "b-parity-fwd3",
+                   "batch": B, "R": R}
+            try:
+                xq = x.astype(jnp.bfloat16).astype(jnp.float32)
+                ref = jax.block_until_ready(V3.dcn_pallas_v3(
+                    xq, off, mask, w, bias, max_offset=R))
+                got = jax.block_until_ready(fns["fwd3b"]())
+                denom = float(jnp.max(jnp.abs(ref))) or 1.0
+                rec["relerr"] = round(
+                    float(jnp.max(jnp.abs(ref - got))) / denom, 9)
             except Exception:  # noqa: BLE001
                 rec["error"] = traceback.format_exc()[-1600:]
             line = json.dumps(rec)
