@@ -417,23 +417,39 @@ class BilinearUp(nn.Module):
     """Depthwise transposed conv, kernel 2f, stride f, pad f/2 (trainable,
     bilinear-initialised; reference: model/backbone/dla_dcn.py:372-381).
 
-    Evaluated by exact phase decomposition rather than an input-dilated conv:
-    with kernel size 2f and stride f every output pixel receives exactly two
-    taps per axis, so output phase (a, b) is a 4-term per-channel weighted sum
-    of shifted copies of x, and the f*f phases interleave into the output.
-    The dilated depthwise conv cost ~3.3 ms/iter of the TPU inference step
-    (VPU conv + layout copies); the decomposition is fusable elementwise work
-    plus one interleave transpose.  Identical math for ANY kernel values (the
-    decomposition is algebraic, not bilinear-specific), pinned to the torch
-    ConvTranspose2d oracle by tests/test_op_golden.py."""
+    Two identical-math implementations, pinned to the torch ConvTranspose2d
+    oracle by tests/test_op_golden.py:
+
+    - "dilated" (default): lhs-dilated depthwise conv on XLA's conv path.
+    - "phase": exact phase decomposition — with kernel 2f/stride f every
+      output pixel receives exactly two taps per axis, so phase (a, b) is a
+      4-term per-channel weighted sum of shifted x copies, interleaved.
+
+    Device A/B at all 8 flagship call shapes (tools/bilinear_ablate.py,
+    trace-timed): dilated wins ~2x everywhere (3.1 vs 6.0 ms per forward
+    total) — the phase interleave transpose costs more than the VPU conv it
+    replaces, and a full-bench A/B agreed (96.4 vs 99+ img/s)."""
 
     factor: int
+    impl: str = "dilated"            # "dilated" | "phase" — identical math
 
     @nn.compact
     def __call__(self, x):
         f = self.factor
         B, H, W, c = x.shape
         kernel = self.param("kernel", _bilinear_upsample_init, (2 * f, 2 * f, 1, c))
+        if self.impl == "dilated":
+            # conv_transpose(stride f, k=2f, pad=f/2) == lhs-dilated conv with
+            # the spatially flipped kernel and padding k-1-f/2 per side
+            pad = 2 * f - 1 - f // 2
+            return jax.lax.conv_general_dilated(
+                x, kernel[::-1, ::-1].astype(x.dtype),
+                window_strides=(1, 1),
+                padding=[(pad, pad), (pad, pad)],
+                lhs_dilation=(f, f),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c,
+            )
         # ConvTranspose2d: out[y] = sum_i x[i] * K[y + p - f*i], 0 <= y+p-f*i < 2f.
         # For y = f*m + a: the two valid taps are t = r_a and t = r_a + f with
         # r_a = (a+p) % f, sources m + e_a and m + e_a - 1, e_a = (a+p) // f.

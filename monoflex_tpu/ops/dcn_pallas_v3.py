@@ -376,8 +376,10 @@ def _dwmo3_kernel(x_hbm, off_ref, mask_ref, g_ref, w_ref,
                                xv_ref, sem)
     cp.start()
     cp.wait()
+    # x may arrive in a narrower transfer dtype (see dcn_pallas_v3): the
+    # upcast to the window-math dtype rides these shift copies for free
     for j in range(2 * P + 1):
-        xs_ref[j] = xv_ref[:, :, j: j + wp]
+        xs_ref[j] = xv_ref[:, :, j: j + wp].astype(xs_ref.dtype)
 
     def tap_body(k, carry):
         ky = k // 3 - 1
@@ -438,19 +440,29 @@ def _dwmo3_kernel(x_hbm, off_ref, mask_ref, g_ref, w_ref,
     jax.lax.fori_loop(0, 9, tap_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype",
+                                              "transfer_dtype"))
 def dcn_pallas_v3_bwd_dwmo(x, offset, mask, weight, g, max_offset: int = 2,
-                           compute_dtype=None):
-    """Fused mask + weight + offset gradients; returns (dmask, dw, doff)."""
+                           compute_dtype=None, transfer_dtype=None):
+    """Fused mask + weight + offset gradients; returns (dmask, dw, doff).
+
+    transfer_dtype: dtype x is SHIPPED in (relayout + HBM->VMEM DMA), as in
+    dcn_pallas_v3.  When the forward ran with transfer_dtype=bf16 the TRUE
+    gradient of that forward evaluates dW/dmask/doffset at the bf16-quantized
+    x, so passing the same transfer_dtype here is both faster and more exact.
+    (dx never reads x — it is unaffected by the forward's quantization.)
+    """
     B, H, W, C = x.shape
     Co = weight.shape[-1]
     R = max_offset
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    if transfer_dtype is None:
+        transfer_dtype = compute_dtype
     P, tile_h, pad_h, Hp, win_h, wp, wp2f, Cs, Cos = _dims(H, W, C, Co, R)
     n_tiles = Hp // tile_h
 
-    xt = jnp.pad(x.astype(compute_dtype),
+    xt = jnp.pad(x.astype(transfer_dtype),
                  ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, Cs - C)))
     xt = jnp.transpose(xt, (0, 1, 3, 2))
     off_t = jnp.transpose(offset, (0, 3, 1, 2)).astype(jnp.float32)
@@ -495,7 +507,7 @@ def dcn_pallas_v3_bwd_dwmo(x, offset, mask, weight, g, max_offset: int = 2,
             jax.ShapeDtypeStruct((B, 18, Hp, wp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((win_h, Cs, wp2f), compute_dtype),
+            pltpu.VMEM((win_h, Cs, wp2f), transfer_dtype),
             pltpu.VMEM((2 * P + 1, win_h, Cs, wp), compute_dtype),
             pltpu.VMEM((tile_h, Cs, wp), compute_dtype),   # u
             pltpu.VMEM((tile_h, Cs, wp), compute_dtype),   # s
@@ -515,14 +527,14 @@ def dcn_pallas_v3_bwd_dwmo(x, offset, mask, weight, g, max_offset: int = 2,
 
 
 def dcn_pallas_v3_bwd(x, offset, mask, weight, g, max_offset: int = 2,
-                      compute_dtype=None):
+                      compute_dtype=None, transfer_dtype=None):
     """All five gradients via the v3 kernels."""
     dx = dcn_pallas_v3_bwd_dx(x, offset, mask, weight, g,
                               max_offset=max_offset,
                               compute_dtype=compute_dtype)
     dmask, dw, doff = dcn_pallas_v3_bwd_dwmo(
         x, offset, mask, weight, g, max_offset=max_offset,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, transfer_dtype=transfer_dtype)
     db = jnp.sum(g, axis=(0, 1, 2))
     return dx, doff, dmask, dw, db
 
@@ -544,7 +556,8 @@ def _fwd(x, offset, mask, weight, bias, max_offset, transfer_dtype):
 def _bwd(max_offset, transfer_dtype, residuals, g):
     x, offset, mask, weight = residuals
     return dcn_pallas_v3_bwd(x, offset, mask, weight, g,
-                             max_offset=max_offset)
+                             max_offset=max_offset,
+                             transfer_dtype=transfer_dtype)
 
 
 dcn_pallas_v3_vjp.defvjp(_fwd, _bwd)

@@ -96,6 +96,30 @@ def test_v3_vjp_gradients_match_oracle():
                                    atol=2e-3, err_msg=n)
 
 
+def test_v3_vjp_bf16_transfer_gradients():
+    """transfer_dtype=bf16 VJP == jax.grad of the oracle evaluated at the
+    bf16-quantized x: the forward windows xq, and the dwmo backward now ships
+    x through the same quantization, so doffset/dmask/dweight are the TRUE
+    gradients of the quantized forward (dx never reads x)."""
+    x, off, mask, w, b = make_inputs(seed=4, B=1, H=16, W=16)
+    xq = x.astype(jnp.bfloat16).astype(jnp.float32)
+
+    def loss_v3(*a):
+        return jnp.sum(jnp.sin(DP3.dcn_pallas_v3_vjp(*a, 2, jnp.bfloat16)))
+
+    def loss_ref(*a):
+        return jnp.sum(jnp.sin(modulated_deform_conv_shift(*a, max_offset=2)))
+
+    got = jax.grad(loss_v3, argnums=(0, 1, 2, 3, 4))(x, off, mask, w, b)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(xq, off, mask, w, b)
+    for n, g, r in zip(("dx", "doffset", "dmask", "dweight", "dbias"),
+                       got, want):
+        scale = max(1.0, float(jnp.max(jnp.abs(r))))
+        np.testing.assert_allclose(np.asarray(g) / scale,
+                                   np.asarray(r) / scale,
+                                   atol=2e-3, err_msg=n)
+
+
 def test_v3_bwd_rect_channels():
     # C != Co exercises the transposed-weight u path in both bwd kernels
     x, off, mask, w, b = make_inputs(seed=3, B=1, H=16, W=32, C=16, Co=8)

@@ -22,14 +22,15 @@ from monoflex_tpu.ops.image_ops import gather_edge_features
 
 # --- bilinear depthwise ConvTranspose2d ------------------------------------
 
+@pytest.mark.parametrize("impl", ["dilated", "phase"])
 @pytest.mark.parametrize("f,c,h,w", [(2, 4, 5, 7), (4, 3, 4, 6), (2, 64, 8, 8)])
-def test_bilinear_up_matches_torch_convtranspose(f, c, h, w):
-    """Our lhs-dilated-conv formulation == torch ConvTranspose2d(k=2f,
+def test_bilinear_up_matches_torch_convtranspose(f, c, h, w, impl):
+    """Both BilinearUp implementations == torch ConvTranspose2d(k=2f,
     stride=f, pad=f//2, groups=C) with the same weights."""
     rng = np.random.RandomState(0)
     x = rng.randn(2, h, w, c).astype(np.float32)
 
-    up = BilinearUp(factor=f)
+    up = BilinearUp(factor=f, impl=impl)
     variables = up.init(jax.random.PRNGKey(0), jnp.asarray(x))
     ours = np.asarray(up.apply(variables, jnp.asarray(x)))
 

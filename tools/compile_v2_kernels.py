@@ -120,6 +120,9 @@ def main():
             "fwd3b": lambda: V3.dcn_pallas_v3(x, off, mask, w, bias,
                                               max_offset=R,
                                               transfer_dtype=jnp.bfloat16),
+            "dwmo3b": lambda: V3.dcn_pallas_v3_bwd_dwmo(
+                x, off, mask, w, g, max_offset=R,
+                transfer_dtype=jnp.bfloat16),
         }
         if C == 64 and Co == 64 and W % 2 == 0:
             fns["packed"] = lambda: V2.dcn_pallas_v2_packed(
@@ -155,18 +158,30 @@ def main():
             with open(args.out, "a") as f:
                 f.write(line + "\n")
 
-        if "fwd3b" in args.what.split(","):
-            # on-device parity: fwd3b == fwd3 on the bf16-quantized x
-            rec = {"shape": [H, W, C, Co], "kernel": "b-parity-fwd3",
-                   "batch": B, "R": R}
+        # on-device parity: the b-variants == their f32 kernel fed the
+        # bf16-quantized x
+        xq = x.astype(jnp.bfloat16).astype(jnp.float32)
+        b_pairs = {
+            "fwd3b": ("b-parity-fwd3", lambda: V3.dcn_pallas_v3(
+                xq, off, mask, w, bias, max_offset=R)),
+            "dwmo3b": ("b-parity-dwmo3", lambda: V3.dcn_pallas_v3_bwd_dwmo(
+                xq, off, mask, w, g, max_offset=R)),
+        }
+        for what, (tag, ref_fn) in b_pairs.items():
+            if what not in args.what.split(","):
+                continue
+            rec = {"shape": [H, W, C, Co], "kernel": tag, "batch": B, "R": R}
             try:
-                xq = x.astype(jnp.bfloat16).astype(jnp.float32)
-                ref = jax.block_until_ready(V3.dcn_pallas_v3(
-                    xq, off, mask, w, bias, max_offset=R))
-                got = jax.block_until_ready(fns["fwd3b"]())
-                denom = float(jnp.max(jnp.abs(ref))) or 1.0
-                rec["relerr"] = round(
-                    float(jnp.max(jnp.abs(ref - got))) / denom, 9)
+                refs = jax.block_until_ready(ref_fn())
+                gots = jax.block_until_ready(fns[what]())
+                if not isinstance(refs, tuple):
+                    refs, gots = (refs,), (gots,)
+                relerr = 0.0
+                for ref, got in zip(refs, gots):
+                    denom = float(jnp.max(jnp.abs(ref))) or 1.0
+                    relerr = max(relerr,
+                                 float(jnp.max(jnp.abs(ref - got))) / denom)
+                rec["relerr"] = round(relerr, 9)
             except Exception:  # noqa: BLE001
                 rec["error"] = traceback.format_exc()[-1600:]
             line = json.dumps(rec)
