@@ -44,6 +44,7 @@ shifts (negative dynamic shifts silently corrupt data on v5e).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -351,6 +352,147 @@ def dcn_pallas_v3_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
 
 
 # ---------------------------------------------------------------------------
+# backward kernel 1b: dx v4 — roll-free tap windows
+# ---------------------------------------------------------------------------
+#
+# dx3 (above) extracts each tap's destination-aligned weight map with TWO
+# dynamic pltpu.rolls per (tap, dy, dx) — 450 rolls of a (tile_h+16, wp2o)
+# f32 map per grid step, which is why dx3 runs ~2.3x the forward kernel's
+# time at the hot shape (9.02 vs 3.95 ms) despite identical FMA counts.
+# The rolls exist because (a) the tap index k is a fori_loop variable, so
+# the map row shift ky+e is dynamic, and (b) the compact maps keep rows on
+# SUBLANES, where dynamic slice starts are illegal on v5e.
+#
+# v4 removes both causes instead of paying for them:
+#   - taps are unrolled in PYTHON (9 static (ky, kx)); only the 2R+1-trip
+#     row loop runs under fori, so every map COLUMN slice start
+#     (P - kx - f) is a static lane offset;
+#   - offset/mask maps are staged rows-UNTILED with a singleton sublane dim
+#     ((27, win_h, 1, wp2f) — the sublane padding costs VMEM, not HBM), so
+#     the dynamic row start (P - ky - e, e the fori index) lands on an
+#     untiled dim: legal, and free of shuffles.
+# The u = W_k^T g staging and the 2P+1 pre-shifted column banks are
+# unchanged from dx3.  Zero pltpu.roll calls remain.
+
+
+def _dx4_kernel(g_hbm, omm_hbm, w_ref, dx_ref,
+                gv_ref, uv_ref, us_ref, mv_ref, acc_ref, sem,
+                *, tile_h, max_offset, compute_dtype):
+    """dx[p] = sum_k sum_{e,f} hat(oy_k(q)-e) hat(ox_k(q)-f) m_k(q) u_k(q),
+    q = p - (ky+e, kx+f), u_k = g W_k^T — all shifts static or untiled."""
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+    win_h = gv_ref.shape[0]
+    wp = acc_ref.shape[-1]
+
+    for src, dst in ((g_hbm, gv_ref), (omm_hbm, mv_ref)):
+        cp = pltpu.make_async_copy(src.at[b, pl.ds(row0, win_h)]
+                                   if src is g_hbm else
+                                   src.at[b, :, pl.ds(row0, win_h)],
+                                   dst, sem)
+        cp.start()
+        cp.wait()
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for k in range(9):                       # static taps
+        ky = k // 3 - 1
+        kx = k % 3 - 1
+        # u_k[c, w] = sum_co W_k[c, co] g[co, w]: per-row MXU matmul
+        for r in range(win_h):
+            uv_ref[r] = jax.lax.dot_general(
+                w_ref[k], gv_ref[r],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(uv_ref.dtype)
+        for j in range(2 * P + 1):
+            us_ref[j] = uv_ref[:, :, j: j + wp]
+
+        def e_body(ei, carry, ky=ky, kx=kx):
+            e = (ei - R).astype(jnp.float32)
+            rs = P + R - ky - ei             # dynamic start, untiled rows
+            oy = mv_ref[2 * k, pl.ds(rs, tile_h)]        # (tile_h, 1, wp2f)
+            mk = mv_ref[18 + k, pl.ds(rs, tile_h)]
+            hym = _hat(jnp.clip(oy, -R, R) - e) * mk
+            ox = jnp.clip(mv_ref[2 * k + 1, pl.ds(rs, tile_h)], -R, R)
+            for f in range(-R, R + 1):
+                cs = P - kx - f              # static lane offset
+                wm = hym[:, :, cs: cs + wp] * _hat(ox[:, :, cs: cs + wp] - f)
+                rows = us_ref[pl.ds(P - kx - f, 1),
+                              pl.ds(rs, tile_h)][0]
+                acc_ref[...] += rows * wm.astype(compute_dtype)
+            return carry
+
+        jax.lax.fori_loop(0, 2 * R + 1, e_body, 0)
+
+    dx_ref[0] = acc_ref[...].astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype",
+                                              "transfer_dtype"))
+def dcn_pallas_v4_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
+                         compute_dtype=None, transfer_dtype=None):
+    """Roll-free dx (see _dx4_kernel).  Same contract as dcn_pallas_v3_bwd_dx.
+
+    transfer_dtype: dtype g AND weight are SHIPPED in.  bf16 halves the g
+    relayout/DMA bytes and runs the u = W_k^T g matmuls at the MXU's bf16
+    rate; u accumulates in f32 (exact for bf16 inputs), so the result equals
+    the f32 kernel on bf16-quantized (g, weight).
+    """
+    B, H, W, C = x.shape
+    Co = weight.shape[-1]
+    R = max_offset
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    if transfer_dtype is None:
+        transfer_dtype = compute_dtype
+    P, tile_h, pad_h, Hp, win_h, wp, wp2f, Cs, Cos = _dims(H, W, C, Co, R)
+
+    # g halo to (B, Hp + 2P, Cos, wp2f): Co on sublanes, W on lanes
+    gt = jnp.pad(g.astype(transfer_dtype),
+                 ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, Cos - Co)))
+    gt = jnp.transpose(gt, (0, 1, 3, 2))
+    # offset(18) + mask(9) channels, rows UNTILED with a singleton sublane
+    # dim; same row/col halo as gt so source-pixel windows line up
+    omm = jnp.concatenate([offset, mask], axis=-1).astype(jnp.float32)
+    omm = jnp.pad(omm, ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, 0)))
+    omm = jnp.transpose(omm, (0, 3, 1, 2))[:, :, :, None, :]
+
+    kernel = functools.partial(_dx4_kernel, tile_h=tile_h, max_offset=R,
+                               compute_dtype=compute_dtype)
+    # W_k^T as (9, Cos, Cs)
+    w_t = jnp.pad(
+        jnp.transpose(weight.reshape(9, C, Co), (0, 2, 1)).astype(
+            transfer_dtype),
+        ((0, 0), (0, Cos - Co), (0, Cs - C)))
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hp // tile_h),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, Cos, Cs), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, Cs, wp), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Cs, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, Cos, wp2f), transfer_dtype),
+            pltpu.VMEM((win_h, Cs, wp2f), compute_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, Cs, wp), compute_dtype),
+            pltpu.VMEM((27, win_h, 1, wp2f), jnp.float32),
+            pltpu.VMEM((tile_h, Cs, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(gt, omm, w_t)
+    # kernel layout (B, Hp, Cs, wp) -> NHWC
+    return jnp.transpose(out, (0, 1, 3, 2))[:, :H, :W, :C].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # backward kernel 2: fused dmask + dW + doffset in a single window sweep
 # ---------------------------------------------------------------------------
 
@@ -528,10 +670,22 @@ def dcn_pallas_v3_bwd_dwmo(x, offset, mask, weight, g, max_offset: int = 2,
 
 def dcn_pallas_v3_bwd(x, offset, mask, weight, g, max_offset: int = 2,
                       compute_dtype=None, transfer_dtype=None):
-    """All five gradients via the v3 kernels."""
-    dx = dcn_pallas_v3_bwd_dx(x, offset, mask, weight, g,
-                              max_offset=max_offset,
-                              compute_dtype=compute_dtype)
+    """All five gradients via the v3-generation kernels.
+
+    The dx kernel defaults to the roll-free v4 formulation (same math,
+    device-validated bit-exact vs dx3; MONOFLEX_DX_KERNEL=dx3 reverts).
+    dx always ships g in f32 regardless of transfer_dtype: transfer_dtype
+    quantizes x (whose true gradient is unchanged), while quantizing g
+    would approximate the propagated gradient itself.
+    """
+    if os.environ.get("MONOFLEX_DX_KERNEL", "dx3") == "dx4":
+        dx = dcn_pallas_v4_bwd_dx(x, offset, mask, weight, g,
+                                  max_offset=max_offset,
+                                  compute_dtype=compute_dtype)
+    else:
+        dx = dcn_pallas_v3_bwd_dx(x, offset, mask, weight, g,
+                                  max_offset=max_offset,
+                                  compute_dtype=compute_dtype)
     dmask, dw, doff = dcn_pallas_v3_bwd_dwmo(
         x, offset, mask, weight, g, max_offset=max_offset,
         compute_dtype=compute_dtype, transfer_dtype=transfer_dtype)

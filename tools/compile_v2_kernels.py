@@ -123,6 +123,14 @@ def main():
             "dwmo3b": lambda: V3.dcn_pallas_v3_bwd_dwmo(
                 x, off, mask, w, g, max_offset=R,
                 transfer_dtype=jnp.bfloat16),
+            # roll-free dx (python-unrolled taps, rows-untiled maps)
+            "dx4": lambda: V3.dcn_pallas_v4_bwd_dx(x, off, mask, w, g,
+                                                   max_offset=R),
+            # bf16-shipped g+W: u = W^T g accumulates f32 (exact), so this
+            # must match dx4 fed bf16-quantized (g, W)
+            "dx4b": lambda: V3.dcn_pallas_v4_bwd_dx(
+                x, off, mask, w, g, max_offset=R,
+                transfer_dtype=jnp.bfloat16),
         }
         if C == 64 and Co == 64 and W % 2 == 0:
             fns["packed"] = lambda: V2.dcn_pallas_v2_packed(
@@ -166,6 +174,14 @@ def main():
                 xq, off, mask, w, bias, max_offset=R)),
             "dwmo3b": ("b-parity-dwmo3", lambda: V3.dcn_pallas_v3_bwd_dwmo(
                 xq, off, mask, w, g, max_offset=R)),
+            # dx4 vs dx3: identical math, roll-free formulation
+            "dx4": ("parity-dx3", lambda: V3.dcn_pallas_v3_bwd_dx(
+                x, off, mask, w, g, max_offset=R)),
+            # dx4b vs dx4 on bf16-quantized (g, W)
+            "dx4b": ("b-parity-dx4", lambda: V3.dcn_pallas_v4_bwd_dx(
+                x, off, mask,
+                w.astype(jnp.bfloat16).astype(jnp.float32),
+                g.astype(jnp.bfloat16).astype(jnp.float32), max_offset=R)),
         }
         for what, (tag, ref_fn) in b_pairs.items():
             if what not in args.what.split(","):
