@@ -493,6 +493,139 @@ def dcn_pallas_v4_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
 
 
 # ---------------------------------------------------------------------------
+# backward kernel 1c: dx v5 — window-sum first, weight contraction after
+# ---------------------------------------------------------------------------
+#
+# Device timing showed dx4's roll removal only bought 1.2x at the hot shape:
+# the dominant overhead vs the forward kernel is the PER-TAP u = W_k^T g
+# staging — dx3/dx4 re-run the win_h matmuls and re-stage the 2P+1 column
+# banks for every tap (63 bank copies of a (win_h, Cs, wp) tile per grid
+# step vs the forward's 7).  Reassociating the contraction removes it:
+#
+#   dx[p, c] = sum_k W_k[c, :] . z_k[p],   z_k[p] = sum_{e,f} wm_kef(p) g(p-d)
+#
+# i.e. accumulate the weighted g-windows per tap (the forward kernel's exact
+# FMA structure, reading g banks staged ONCE per grid step) and contract
+# with W_k^T on the MXU afterwards (tile_h matmuls per tap, same count as
+# the forward).  Map mechanics are dx4's (rows-untiled, static lane
+# offsets, zero rolls).
+
+
+def _dx5_kernel(g_hbm, omm_hbm, w_ref, dx_ref,
+                gv_ref, gs_ref, mv_ref, s_ref, acc_ref, sem,
+                *, tile_h, max_offset, compute_dtype):
+    R = max_offset
+    P = R + 1
+    b = pl.program_id(0)
+    row0 = pl.program_id(1) * tile_h
+    win_h = gv_ref.shape[0]
+    wp = s_ref.shape[-1]
+
+    for src, dst in ((g_hbm, gv_ref), (omm_hbm, mv_ref)):
+        cp = pltpu.make_async_copy(src.at[b, pl.ds(row0, win_h)]
+                                   if src is g_hbm else
+                                   src.at[b, :, pl.ds(row0, win_h)],
+                                   dst, sem)
+        cp.start()
+        cp.wait()
+    # g column banks staged once (the upcast from a narrow transfer dtype
+    # rides these copies; see _fwd3_kernel)
+    for j in range(2 * P + 1):
+        gs_ref[j] = gv_ref[:, :, j: j + wp].astype(gs_ref.dtype)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for k in range(9):                       # static taps
+        ky = k // 3 - 1
+        kx = k % 3 - 1
+        s_ref[...] = jnp.zeros_like(s_ref)
+
+        def e_body(ei, carry, ky=ky, kx=kx, k=k):
+            e = (ei - R).astype(jnp.float32)
+            rs = P + R - ky - ei             # dynamic start, untiled rows
+            oy = mv_ref[2 * k, pl.ds(rs, tile_h)]        # (tile_h, 1, wp2f)
+            mk = mv_ref[18 + k, pl.ds(rs, tile_h)]
+            hym = _hat(jnp.clip(oy, -R, R) - e) * mk
+            ox = jnp.clip(mv_ref[2 * k + 1, pl.ds(rs, tile_h)], -R, R)
+            for f in range(-R, R + 1):
+                cs = P - kx - f              # static lane offset
+                wm = hym[:, :, cs: cs + wp] * _hat(ox[:, :, cs: cs + wp] - f)
+                rows = gs_ref[cs, pl.ds(rs, tile_h)]
+                s_ref[...] += rows * wm.astype(compute_dtype)
+            return carry
+
+        jax.lax.fori_loop(0, 2 * R + 1, e_body, 0)
+
+        # contract Co (sublanes of both operands): (Cos, Cs) x (Cos, wp)
+        for r in range(tile_h):
+            acc_ref[r] += jax.lax.dot_general(
+                w_ref[k], s_ref[r],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    dx_ref[0] = acc_ref[...].astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype",
+                                              "transfer_dtype"))
+def dcn_pallas_v5_bwd_dx(x, offset, mask, weight, g, max_offset: int = 2,
+                         compute_dtype=None, transfer_dtype=None):
+    """dx via window-sum-then-contract (see _dx5_kernel).  Same contract as
+    dcn_pallas_v3_bwd_dx.
+
+    transfer_dtype: dtype g is SHIPPED and bank-staged in.  The weighted
+    window sum accumulates g upcast to compute_dtype, so bf16 output equals
+    the f32 kernel on the bf16-quantized g (W is never quantized here).
+    """
+    B, H, W, C = x.shape
+    Co = weight.shape[-1]
+    R = max_offset
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    if transfer_dtype is None:
+        transfer_dtype = compute_dtype
+    P, tile_h, pad_h, Hp, win_h, wp, wp2f, Cs, Cos = _dims(H, W, C, Co, R)
+
+    gt = jnp.pad(g.astype(transfer_dtype),
+                 ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, Cos - Co)))
+    gt = jnp.transpose(gt, (0, 1, 3, 2))
+    omm = jnp.concatenate([offset, mask], axis=-1).astype(jnp.float32)
+    omm = jnp.pad(omm, ((0, 0), (P, P + pad_h), (P, wp2f - W - P), (0, 0)))
+    omm = jnp.transpose(omm, (0, 3, 1, 2))[:, :, :, None, :]
+    # W_k^T as (9, Cos, Cs)
+    w_t = jnp.pad(
+        jnp.transpose(weight.reshape(9, C, Co), (0, 2, 1)).astype(
+            compute_dtype),
+        ((0, 0), (0, Cos - Co), (0, Cs - C)))
+
+    kernel = functools.partial(_dx5_kernel, tile_h=tile_h, max_offset=R,
+                               compute_dtype=compute_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, Hp // tile_h),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=127 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9, Cos, Cs), lambda b, h: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tile_h, Cs, wp), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Cs, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((win_h, Cos, wp2f), transfer_dtype),
+            pltpu.VMEM((2 * P + 1, win_h, Cos, wp), compute_dtype),
+            pltpu.VMEM((27, win_h, 1, wp2f), jnp.float32),
+            pltpu.VMEM((tile_h, Cos, wp), compute_dtype),
+            pltpu.VMEM((tile_h, Cs, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(gt, omm, w_t)
+    return jnp.transpose(out, (0, 1, 3, 2))[:, :H, :W, :C].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
 # backward kernel 2: fused dmask + dW + doffset in a single window sweep
 # ---------------------------------------------------------------------------
 
@@ -678,14 +811,12 @@ def dcn_pallas_v3_bwd(x, offset, mask, weight, g, max_offset: int = 2,
     quantizes x (whose true gradient is unchanged), while quantizing g
     would approximate the propagated gradient itself.
     """
-    if os.environ.get("MONOFLEX_DX_KERNEL", "dx3") == "dx4":
-        dx = dcn_pallas_v4_bwd_dx(x, offset, mask, weight, g,
-                                  max_offset=max_offset,
-                                  compute_dtype=compute_dtype)
-    else:
-        dx = dcn_pallas_v3_bwd_dx(x, offset, mask, weight, g,
-                                  max_offset=max_offset,
-                                  compute_dtype=compute_dtype)
+    dx_fn = {"dx3": dcn_pallas_v3_bwd_dx,
+             "dx4": dcn_pallas_v4_bwd_dx,
+             "dx5": dcn_pallas_v5_bwd_dx}[
+        os.environ.get("MONOFLEX_DX_KERNEL", "dx3")]
+    dx = dx_fn(x, offset, mask, weight, g, max_offset=max_offset,
+               compute_dtype=compute_dtype)
     dmask, dw, doff = dcn_pallas_v3_bwd_dwmo(
         x, offset, mask, weight, g, max_offset=max_offset,
         compute_dtype=compute_dtype, transfer_dtype=transfer_dtype)
