@@ -161,6 +161,46 @@ def test_dx4_bf16_transfer_matches_quantized():
     assert np.abs(np.asarray(got) - np.asarray(ref_f32)).max() > 1e-5
 
 
+@pytest.mark.parametrize("R", [1, 2, 3])
+def test_dx5_matches_dx3(R):
+    """dx5 reassociates the contraction (window-sum per tap first, W^T
+    contraction on the MXU after) — same clamped-window gradient as dx3/dx4
+    up to f32 reassociation."""
+    x, off, mask, w, _ = make_inputs(seed=5)
+    rng = np.random.RandomState(6)
+    g = jnp.asarray(rng.randn(*x.shape[:3], w.shape[-1]).astype(np.float32))
+    d3 = DP3.dcn_pallas_v3_bwd_dx(x, off, mask, w, g, max_offset=R)
+    d5 = DP3.dcn_pallas_v5_bwd_dx(x, off, mask, w, g, max_offset=R)
+    np.testing.assert_allclose(np.asarray(d5), np.asarray(d3), atol=1e-5)
+
+
+def test_dx5_non_divisible_and_rect():
+    for H, W, C, Co in ((13, 32, 8, 8), (40, 20, 8, 16), (16, 32, 24, 8)):
+        x, off, mask, w, _ = make_inputs(H=H, W=W, C=C, Co=Co)
+        rng = np.random.RandomState(7)
+        g = jnp.asarray(rng.randn(*x.shape[:3], Co).astype(np.float32))
+        d3 = DP3.dcn_pallas_v3_bwd_dx(x, off, mask, w, g, max_offset=2)
+        d5 = DP3.dcn_pallas_v5_bwd_dx(x, off, mask, w, g, max_offset=2)
+        np.testing.assert_allclose(np.asarray(d5), np.asarray(d3),
+                                   atol=1e-5, err_msg=f"{(H, W, C, Co)}")
+
+
+def test_dx5_bf16_transfer_matches_quantized():
+    """dx5's transfer_dtype=bf16 ships only g (W stays f32); the weighted
+    window sum accumulates g upcast to f32, so dx5b == dx5 fed the
+    bf16-quantized g."""
+    x, off, mask, w, _ = make_inputs(seed=8)
+    rng = np.random.RandomState(9)
+    g = jnp.asarray(rng.randn(*x.shape[:3], w.shape[-1]).astype(np.float32))
+    got = DP3.dcn_pallas_v5_bwd_dx(x, off, mask, w, g, max_offset=2,
+                                   transfer_dtype=jnp.bfloat16)
+    gq = g.astype(jnp.bfloat16).astype(jnp.float32)
+    ref = DP3.dcn_pallas_v5_bwd_dx(x, off, mask, w, gq, max_offset=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    ref_f32 = DP3.dcn_pallas_v5_bwd_dx(x, off, mask, w, g, max_offset=2)
+    assert np.abs(np.asarray(got) - np.asarray(ref_f32)).max() > 1e-5
+
+
 def test_v3_bwd_rect_channels():
     # C != Co exercises the transposed-weight u path in both bwd kernels
     x, off, mask, w, b = make_inputs(seed=3, B=1, H=16, W=32, C=16, Co=8)

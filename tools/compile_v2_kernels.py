@@ -131,6 +131,15 @@ def main():
             "dx4b": lambda: V3.dcn_pallas_v4_bwd_dx(
                 x, off, mask, w, g, max_offset=R,
                 transfer_dtype=jnp.bfloat16),
+            # window-sum-then-contract dx (g banks staged once per grid step,
+            # W^T contraction on the MXU after the sweep)
+            "dx5": lambda: V3.dcn_pallas_v5_bwd_dx(x, off, mask, w, g,
+                                                   max_offset=R),
+            # bf16-shipped g (W stays f32): window sum accumulates the
+            # upcast g, so this must match dx5 fed bf16-quantized g
+            "dx5b": lambda: V3.dcn_pallas_v5_bwd_dx(
+                x, off, mask, w, g, max_offset=R,
+                transfer_dtype=jnp.bfloat16),
         }
         if C == 64 and Co == 64 and W % 2 == 0:
             fns["packed"] = lambda: V2.dcn_pallas_v2_packed(
@@ -181,6 +190,13 @@ def main():
             "dx4b": ("b-parity-dx4", lambda: V3.dcn_pallas_v4_bwd_dx(
                 x, off, mask,
                 w.astype(jnp.bfloat16).astype(jnp.float32),
+                g.astype(jnp.bfloat16).astype(jnp.float32), max_offset=R)),
+            # dx5 vs dx3: same math, reassociated contraction (f32 rounding)
+            "dx5": ("parity-dx3", lambda: V3.dcn_pallas_v3_bwd_dx(
+                x, off, mask, w, g, max_offset=R)),
+            # dx5b vs dx5 on bf16-quantized g (W stays f32 in dx5)
+            "dx5b": ("b-parity-dx5", lambda: V3.dcn_pallas_v5_bwd_dx(
+                x, off, mask, w,
                 g.astype(jnp.bfloat16).astype(jnp.float32), max_offset=R)),
         }
         for what, (tag, ref_fn) in b_pairs.items():
