@@ -76,8 +76,10 @@ def main():
                          "DEVICE (catches dynamic-roll corruption that "
                          "interpret mode cannot)")
     ap.add_argument("--shapes", default="train",
-                    help="'train' (4-shape pallas2-fine mix) or 'model' "
-                         "(all 8 distinct inference instances)")
+                    help="'train' (4-shape pallas2-fine mix), 'model' "
+                         "(all 8 distinct inference instances), 'hot' "
+                         "(the dominant (96,320,64,64) shape only), or an "
+                         "explicit 'H,W,C,Co[;H,W,C,Co...]' list")
     ap.add_argument("--out", default="/tmp/compile_v2.jsonl")
     args = ap.parse_args()
 
@@ -88,7 +90,15 @@ def main():
     R = args.max_offset
     rng = np.random.RandomState(0)
 
-    shapes = MODEL_SHAPES if args.shapes == "model" else TRAIN_MIX_SHAPES
+    if args.shapes == "model":
+        shapes = MODEL_SHAPES
+    elif args.shapes == "train":
+        shapes = TRAIN_MIX_SHAPES
+    elif args.shapes == "hot":
+        shapes = MODEL_SHAPES[:1]
+    else:
+        shapes = [tuple(int(v) for v in s.split(","))
+                  for s in args.shapes.split(";")]
     for (H, W, C, Co) in shapes:
         B = args.batch
         x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
