@@ -34,32 +34,49 @@ from .train.train_step import (TrainState, make_eval_step,
                                            make_train_step)
 
 
-def build_datasets(cfg):
-    train_name = cfg.DATASETS.TRAIN[0]
+def build_datasets(cfg, need_train: bool = True):
     test_name = cfg.DATASETS.TEST[0]
-    train_root = DatasetCatalog.get(train_name)["args"]["root"]
     test_root = DatasetCatalog.get(test_name)["args"]["root"]
+    eval_ds = KITTIDataset(cfg, test_root, is_train=False)
+    if not need_train:
+        return eval_ds, eval_ds
+    train_name = cfg.DATASETS.TRAIN[0]
+    train_root = DatasetCatalog.get(train_name)["args"]["root"]
     if cfg.DATALOADER.CACHE_DATASET:
         train_ds = CachedFlipDataset(cfg, train_root, is_train=True)
     else:
         train_ds = KITTIDataset(cfg, train_root, is_train=True)
-    eval_ds = KITTIDataset(cfg, test_root, is_train=False)
     return train_ds, eval_ds
 
 
 def main():
+    """Parse args and launch (multi-host aware) the training/eval driver."""
+    from .engine.launch import launch
+
     args = default_argument_parser().parse_args()
+    launch(_run, args.coordinator_address, args.num_processes,
+           args.process_id, args)
+
+
+def _run(args):
+    from .utils import comm
+
     cfg = setup(args)
-    logger, seed = default_setup(cfg, args)
+    logger, seed = default_setup(cfg, args, rank=comm.get_rank())
+
+    # every process must build bit-identical initial params (GSPMD replicates
+    # by value; there is no DDP-style param broadcast), and the samplers must
+    # agree on the epoch permutation they rank-stride — share one seed
+    shared_seed = comm.broadcast_object(seed) % (2 ** 31)
 
     model = build_model(cfg)
     post = PostProcessor(cfg)
     loss_computer = LossComputer(cfg)
 
-    train_ds, eval_ds = build_datasets(cfg)
+    train_ds, eval_ds = build_datasets(cfg, need_train=not args.test)
     sample = collate([train_ds[0]])
     sample = {k: jnp.asarray(v) for k, v in sample.items()}
-    variables = model.init(jax.random.PRNGKey(seed % (2 ** 31)), sample["image"],
+    variables = model.init(jax.random.PRNGKey(shared_seed), sample["image"],
                            sample.get("edge_indices"), sample.get("edge_len"),
                            train=False)
 
@@ -98,27 +115,42 @@ def main():
     state = jax.device_put(state, replicated(mesh))
     eval_step = jax.jit(make_eval_step(model, post), static_argnames="output_depth")
 
-    if args.eval or args.test:
-        ds = eval_ds
+    if args.test:
+        # label-less submission run on DATASETS.TEST_SPLIT (reference:
+        # engine/test_net.py:9-35) — writes txts, skips AP
+        from .engine.test_net import run_test
+
+        with mesh:
+            run_test(cfg, eval_step, state, eval_ds,
+                     eval_all_depths=args.eval_all_depths, logger=logger)
+        return
+
+    if args.eval:
         out = os.path.join(cfg.OUTPUT_DIR, "inference")
         with mesh:
             if args.eval_all_depths:
-                inference_all_depths(cfg, eval_step, state, ds, out, logger=logger)
+                inference_all_depths(cfg, eval_step, state, eval_ds, out,
+                                     logger=logger)
             else:
-                inference(cfg, eval_step, state, ds, out,
+                inference(cfg, eval_step, state, eval_ds, out,
                           metrics=cfg.TEST.METRIC, logger=logger,
                           model=model, visualize=args.vis)
         return
 
     # snapshot framework source + configs into the run directory
-    # (reference: utils/backup_files.py:57-70)
-    from .utils.backup_files import sync_root
+    # (reference: utils/backup_files.py:57-70); rank-gated so pod hosts on a
+    # shared filesystem don't race on the same files
+    if comm.is_main_process():
+        from .utils.backup_files import sync_root
 
-    n_backed = sync_root(os.path.dirname(os.path.abspath(__file__)),
-                         cfg.OUTPUT_DIR)
-    logger.info(f"backed up {n_backed} source files to {cfg.OUTPUT_DIR}/backup")
+        n_backed = sync_root(os.path.dirname(os.path.abspath(__file__)),
+                             cfg.OUTPUT_DIR)
+        logger.info(f"backed up {n_backed} source files to "
+                    f"{cfg.OUTPUT_DIR}/backup")
 
-    train_loader = make_train_loader(cfg, train_ds, seed=seed % (2 ** 31))
+    train_loader = make_train_loader(cfg, train_ds, rank=comm.get_rank(),
+                                     world_size=comm.get_world_size(),
+                                     seed=shared_seed)
     train_step = jax.jit(make_train_step(model, loss_computer, tx), donate_argnums=0)
     with mesh:
         do_train(cfg, model, train_step, eval_step, state, train_loader,

@@ -257,6 +257,11 @@ _C.TPU.DCN_FORCE_IMPL = ""
 # checkpoints: exact sampling on the tiny coarse maps, bounded kernel on the
 # expensive fine ones (ablation table in docs/DESIGN.md)
 _C.TPU.DCN_IMPL_PER_STAGE = ()
+# dx (input-gradient) backward formulation for the v3 Pallas kernels:
+# dx3 (baseline), dx4 (roll-free), dx5 (window-sum-then-contract).
+# Device parity + timing tables: docs/DESIGN.md; MONOFLEX_DX_KERNEL env var
+# overrides for ad-hoc A/Bs.
+_C.TPU.DCN_DX_KERNEL = "dx3"
 _C.TPU.DCN_MAX_OFFSET = 2         # learned-offset clamp for the shift/Pallas DCN
 # optional per-stage clamp (ida_0 deepest, ida_1, ida_2, final ida_up);
 # empty = uniform DCN_MAX_OFFSET.  Offset-stats (docs/DESIGN.md) motivate a

@@ -26,6 +26,15 @@ def default_argument_parser() -> argparse.ArgumentParser:
                         help="limit the device mesh to the first N chips")
     parser.add_argument("--profile", type=int, default=0, metavar="N",
                         help="capture an XLA profiler trace of the first N steps")
+    # multi-host pod flags (reference: engine/launch.py:23-89 spawns per-GPU
+    # processes; on TPU pods each HOST runs this CLI once and
+    # jax.distributed.initialize rendezvous at the coordinator)
+    parser.add_argument("--num_processes", type=int, default=None,
+                        help="total number of host processes in the pod")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="this host's process index [0, num_processes)")
+    parser.add_argument("--coordinator_address", default=None,
+                        help="host:port of process 0 for jax.distributed")
     parser.add_argument("opts", nargs=argparse.REMAINDER,
                         help="config overrides: KEY VALUE [KEY VALUE ...]")
     return parser
@@ -46,6 +55,11 @@ def setup(args):
         cfg.OUTPUT_DIR = args.output
     if args.ckpt is not None:
         cfg.MODEL.WEIGHT = args.ckpt
+    if getattr(args, "test", False):
+        # submission mode: label-less test split (reference:
+        # tools/plain_train_net.py:104-106)
+        cfg.DATASETS.TEST_SPLIT = "test"
+        cfg.DATASETS.TEST = ("kitti_test",)
     return cfg
 
 

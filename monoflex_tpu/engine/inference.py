@@ -169,6 +169,11 @@ def inference(cfg, eval_step, state, dataset, output_dir: str,
 
     label_dir = os.path.join(dataset.root, "label_2")
     split_file = os.path.join(dataset.root, "ImageSets", f"{dataset.split}.txt")
+    if dataset.split == "test" or not os.path.isdir(label_dir):
+        # label-less split (KITTI submission): the txts ARE the product
+        logger.info(f"split '{dataset.split}' has no labels; skipping AP "
+                    f"(predictions in {pred_dir})")
+        return stats
     results = {}
     for metric in metrics:
         text, ret = evaluate_python(label_dir, pred_dir, split_file,

@@ -168,6 +168,10 @@ def do_train(cfg, model, train_step, eval_step, state, train_loader,
             results = inference(cfg, eval_step, state, eval_dataset,
                                 os.path.join(output_dir, f"eval_{iteration}"),
                                 metrics=cfg.TEST.METRIC, logger=logger)
+            # non-main ranks return early from inference() without AP keys,
+            # but Checkpointer.save below is an orbax collective every
+            # process must enter — share rank 0's result dict first
+            results = comm.broadcast_object(results)
             writer.write(iteration, {k: v for k, v in results.items()
                                      if isinstance(v, (int, float))}, prefix="eval/")
             key_ap = results.get(DEFAULT_KEY_METRIC, None)

@@ -48,6 +48,9 @@ class MonoFlex(nn.Module):
 
 
 def build_model(cfg) -> MonoFlex:
+    from ..ops.dcn_pallas_v3 import set_dx_kernel
+
+    set_dx_kernel(cfg.TPU.DCN_DX_KERNEL)
     return MonoFlex(backbone=build_backbone(cfg), predictor=build_predictor(cfg),
                     pixel_mean=tuple(cfg.INPUT.PIXEL_MEAN),
                     pixel_std=tuple(cfg.INPUT.PIXEL_STD),

@@ -801,12 +801,28 @@ def dcn_pallas_v3_bwd_dwmo(x, offset, mask, weight, g, max_offset: int = 2,
     return dmask, dw, doff
 
 
+# Which dx formulation dcn_pallas_v3_bwd dispatches to.  Configured via
+# cfg.TPU.DCN_DX_KERNEL (build_model calls set_dx_kernel); the
+# MONOFLEX_DX_KERNEL env var overrides both for ad-hoc tooling A/Bs.
+_DX_KERNEL = "dx3"
+
+
+def set_dx_kernel(name: str) -> None:
+    """Set the process-wide dx-backward dispatch (called by build_model)."""
+    global _DX_KERNEL
+    if name not in ("dx3", "dx4", "dx5"):
+        raise ValueError(f"unknown dx kernel {name!r} (dx3|dx4|dx5)")
+    _DX_KERNEL = name
+
+
 def dcn_pallas_v3_bwd(x, offset, mask, weight, g, max_offset: int = 2,
                       compute_dtype=None, transfer_dtype=None):
     """All five gradients via the v3-generation kernels.
 
-    The dx kernel defaults to the roll-free v4 formulation (same math,
-    device-validated bit-exact vs dx3; MONOFLEX_DX_KERNEL=dx3 reverts).
+    The dx kernel is chosen by ``set_dx_kernel`` / cfg.TPU.DCN_DX_KERNEL
+    (module default dx3; MONOFLEX_DX_KERNEL env var overrides).  All three
+    formulations compute the same math — dx4 is roll-free (device-validated
+    at 2.4e-7 vs dx3), dx5 window-sums g then contracts W^T on the MXU.
     dx always ships g in f32 regardless of transfer_dtype: transfer_dtype
     quantizes x (whose true gradient is unchanged), while quantizing g
     would approximate the propagated gradient itself.
@@ -814,7 +830,7 @@ def dcn_pallas_v3_bwd(x, offset, mask, weight, g, max_offset: int = 2,
     dx_fn = {"dx3": dcn_pallas_v3_bwd_dx,
              "dx4": dcn_pallas_v4_bwd_dx,
              "dx5": dcn_pallas_v5_bwd_dx}[
-        os.environ.get("MONOFLEX_DX_KERNEL", "dx3")]
+        os.environ.get("MONOFLEX_DX_KERNEL", _DX_KERNEL)]
     dx = dx_fn(x, offset, mask, weight, g, max_offset=max_offset,
                compute_dtype=compute_dtype)
     dmask, dw, doff = dcn_pallas_v3_bwd_dwmo(

@@ -116,6 +116,34 @@ def test_inference_end_to_end(stack):
     assert results["images"] == 3
 
 
+def test_test_split_submission(stack, tmp_path):
+    """--test routes through engine/test_net.run_test on the label-less
+    TEST_SPLIT: txts are written, AP evaluation is skipped (reference:
+    engine/test_net.py:9-35)."""
+    import shutil
+
+    from monoflex_tpu.engine.test_net import run_test
+
+    cfg, model, train_ds, eval_ds, state, train_step, eval_step, schedule = stack
+    # a KITTI "testing" root has no label_2 at all
+    test_root = str(tmp_path / "testing")
+    shutil.copytree(eval_ds.root, test_root)
+    shutil.rmtree(os.path.join(test_root, "label_2"))
+
+    c = cfg.clone()
+    c.OUTPUT_DIR = str(tmp_path / "out")
+    c.DATASETS.TEST_SPLIT = "test"
+    ds = KITTIDataset(c, test_root, is_train=False)
+    assert ds.split == "test"
+    results = run_test(c, eval_step, state, ds)
+    pred_dir = os.path.join(c.OUTPUT_DIR, "inference_test", "data")
+    assert sorted(os.listdir(pred_dir)) == ["000000.txt", "000001.txt",
+                                            "000002.txt"]
+    # label-less: no AP keys, just throughput stats
+    assert "Car_3d_0.70/moderate" not in results
+    assert results["images"] == 3
+
+
 def test_train_with_eval_hook_and_best_ckpt(stack):
     """Mid-training eval fires, APs land in the scalar log, and the
     metric-gated best checkpoint is written."""

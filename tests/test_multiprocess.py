@@ -227,3 +227,77 @@ def test_gspmd_two_process_train_step_parity(tmp_path):
     # single-host result (same global batch, same init, same optimizer)
     assert totals[0] == pytest.approx(totals[1], rel=1e-5)
     assert totals[0] == pytest.approx(expected, rel=1e-3), (totals, expected)
+
+
+# --- CLI-level 2-process e2e: train + eval + best-save + resume -------------
+
+CLI_OPTS = [
+    "SEED", "1",
+    "INPUT.HEIGHT_TRAIN", "64", "INPUT.WIDTH_TRAIN", "128",
+    "INPUT.HEIGHT_TEST", "64", "INPUT.WIDTH_TEST", "128",
+    "SOLVER.IMS_PER_BATCH", "4",
+    "SOLVER.EVAL_AND_SAVE_EPOCH", "False",
+    "SOLVER.EVAL_INTERVAL", "2",
+    "SOLVER.SAVE_CHECKPOINT_INTERVAL", "100",
+    "TEST.IMS_PER_BATCH", "2",
+    "TEST.AP_DIFFICULTY_SCALE", "4.0",
+    "DATALOADER.NUM_WORKERS", "0",
+]
+
+
+def _run_cli_pod(repo, data_dir, out_dir, coord, max_iter):
+    cli = os.path.join(repo, "tools", "plain_train_net.py")
+    env = {k: v for k, v in os.environ.items()
+           if not k.startswith(("JAX_", "XLA_", "PYTHONPATH"))}
+    env.update(MONOFLEX_PLATFORM="cpu", MONOFLEX_DATA_DIR=str(data_dir),
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               MONOFLEX_COMPILE_CACHE=os.path.join(repo, ".jax_cache"))
+    procs = [subprocess.Popen(
+        [sys.executable, cli, "--config", os.path.join(repo, "runs", "monoflex.yaml"),
+         "--output", str(out_dir), "--num_processes", "2", "--process_id",
+         str(i), "--coordinator_address", coord,
+         *CLI_OPTS, "SOLVER.MAX_ITERATION", str(max_iter)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        cwd=repo) for i in range(2)]
+    return procs, [p.communicate(timeout=2400)[0] for p in procs]
+
+
+def test_cli_two_process_train_eval_resume(tmp_path):
+    """The SHIPPED CLI on a 2-process pod (VERDICT r4 #2): N train steps,
+    mid-train eval whose result is broadcast so the best-checkpoint orbax
+    collective is entered by BOTH processes (no deadlock), then a resume run
+    continues from the saved iteration."""
+    from synthetic_kitti import make_synthetic_kitti
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data_dir = tmp_path / "data"
+    make_synthetic_kitti(str(data_dir / "kitti" / "training"), scale=4)
+    out_dir = tmp_path / "out"
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs, outs = _run_cli_pod(repo, data_dir, out_dir,
+                               f"127.0.0.1:{port}", max_iter=2)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-4000:]}"
+
+    ckpt_dir = out_dir / "ckpt"
+    assert (ckpt_dir / "model_final").is_dir()
+    # eval fired at iter 2 on the untrained model -> AP >= best(-1) -> the
+    # collective best save completed on both ranks (would hang pre-fix)
+    assert (ckpt_dir / "model_moderate_best_soft").is_dir()
+    assert (out_dir / "eval_2" / "data").is_dir()
+    # rank-gated logs: exactly one scalars.jsonl with train losses
+    scalars = (out_dir / "tensorboard" / "scalars.jsonl").read_text()
+    assert '"train/total_loss"' in scalars
+
+    # resume: same pod continues from iteration 2
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    procs, outs = _run_cli_pod(repo, data_dir, out_dir,
+                               f"127.0.0.1:{port}", max_iter=3)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} resume failed:\n{out[-4000:]}"
+    assert any("resumed from iteration 2" in o for o in outs)

@@ -97,8 +97,13 @@ def main():
     elif args.shapes == "hot":
         shapes = MODEL_SHAPES[:1]
     else:
-        shapes = [tuple(int(v) for v in s.split(","))
-                  for s in args.shapes.split(";")]
+        shapes = []
+        for s in args.shapes.split(";"):
+            fields = [tok.strip() for tok in s.split(",")]
+            if len(fields) != 4 or not all(tok.isdigit() for tok in fields):
+                ap.error(f"--shapes entry {s!r} must be 'H,W,C,Co' "
+                         "(four comma-separated ints)")
+            shapes.append(tuple(int(tok) for tok in fields))
     for (H, W, C, Co) in shapes:
         B = args.batch
         x = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
@@ -194,7 +199,7 @@ def main():
             "dwmo3b": ("b-parity-dwmo3", lambda: V3.dcn_pallas_v3_bwd_dwmo(
                 xq, off, mask, w, g, max_offset=R)),
             # dx4 vs dx3: identical math, roll-free formulation
-            "dx4": ("parity-dx3", lambda: V3.dcn_pallas_v3_bwd_dx(
+            "dx4": ("dx4-parity-dx3", lambda: V3.dcn_pallas_v3_bwd_dx(
                 x, off, mask, w, g, max_offset=R)),
             # dx4b vs dx4 on bf16-quantized (g, W)
             "dx4b": ("b-parity-dx4", lambda: V3.dcn_pallas_v4_bwd_dx(
@@ -202,7 +207,7 @@ def main():
                 w.astype(jnp.bfloat16).astype(jnp.float32),
                 g.astype(jnp.bfloat16).astype(jnp.float32), max_offset=R)),
             # dx5 vs dx3: same math, reassociated contraction (f32 rounding)
-            "dx5": ("parity-dx3", lambda: V3.dcn_pallas_v3_bwd_dx(
+            "dx5": ("dx5-parity-dx3", lambda: V3.dcn_pallas_v3_bwd_dx(
                 x, off, mask, w, g, max_offset=R)),
             # dx5b vs dx5 on bf16-quantized g (W stays f32 in dx5)
             "dx5b": ("b-parity-dx5", lambda: V3.dcn_pallas_v5_bwd_dx(
