@@ -185,6 +185,10 @@ _C.SOLVER.LR_WARMUP = False
 _C.SOLVER.WARMUP_EPOCH = 1
 _C.SOLVER.WARMUP_STEPS = -1
 _C.SOLVER.GRAD_NORM_CLIP = -1
+# parameter EMA for evaluation/checkpointing (0 = off, reference behavior;
+# e.g. 0.999 stabilizes the late-training strict-IoU AP — train/solver.py
+# ParamEmaState, evaluated by the trainer when enabled)
+_C.SOLVER.EMA_DECAY = 0.0
 _C.SOLVER.SAVE_CHECKPOINT_INTERVAL = 1000
 _C.SOLVER.EVAL_INTERVAL = 2000
 _C.SOLVER.SAVE_CHECKPOINT_EPOCH_INTERVAL = 5
@@ -258,10 +262,12 @@ _C.TPU.DCN_FORCE_IMPL = ""
 # expensive fine ones (ablation table in docs/DESIGN.md)
 _C.TPU.DCN_IMPL_PER_STAGE = ()
 # dx (input-gradient) backward formulation for the v3 Pallas kernels:
-# dx3 (baseline), dx4 (roll-free), dx5 (window-sum-then-contract).
-# Device parity + timing tables: docs/DESIGN.md; MONOFLEX_DX_KERNEL env var
-# overrides for ad-hoc A/Bs.
-_C.TPU.DCN_DX_KERNEL = "dx3"
+# dx3 (baseline), dx4 (roll-free), dx5 (window-sum-then-contract, 2.0x dx3
+# at the hot shape; equal numerical quality — both have exactly one
+# default-precision MXU contraction, and under f32 matmul precision they
+# agree to 3e-7).  Device parity + timing tables: docs/DESIGN.md round 5;
+# MONOFLEX_DX_KERNEL env var overrides for ad-hoc A/Bs.
+_C.TPU.DCN_DX_KERNEL = "dx5"
 _C.TPU.DCN_MAX_OFFSET = 2         # learned-offset clamp for the shift/Pallas DCN
 # optional per-stage clamp (ida_0 deepest, ida_1, ida_2, final ida_up);
 # empty = uniform DCN_MAX_OFFSET.  Offset-stats (docs/DESIGN.md) motivate a

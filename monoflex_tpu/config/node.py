@@ -8,6 +8,7 @@ contract without depending on yacs (not in the image).
 
 from __future__ import annotations
 
+import ast
 import copy
 from typing import Any, Dict, List
 
@@ -70,6 +71,14 @@ class CfgNode(dict):
                     raise TypeError(f"Cannot override config group {full} with a leaf value")
                 self[k].merge_from_other(v, full)
             else:
+                if isinstance(v, str):
+                    # yacs literal_evals every string loaded from yaml
+                    # (yacs _decode_cfg_value), so python-tuple syntax like
+                    # ("Car", "Pedestrian", "Cyclist") parses as a tuple
+                    try:
+                        v = ast.literal_eval(v)
+                    except (ValueError, SyntaxError):
+                        pass
                 self[k] = _coerce(v, self[k], full)
 
     def merge_from_file(self, path: str) -> None:

@@ -165,7 +165,13 @@ def do_train(cfg, model, train_step, eval_step, state, train_loader,
 
         if eval_dataset is not None and iteration % eval_interval == 0:
             logger.info(f"evaluating at iteration {iteration}")
-            results = inference(cfg, eval_step, state, eval_dataset,
+            # with parameter EMA enabled, evaluate (and best-checkpoint) the
+            # averaged weights — the raw weights stay in state for training
+            from ..train.solver import get_ema_params
+
+            ema = get_ema_params(state.opt_state)
+            eval_state = state._replace(params=ema) if ema is not None else state
+            results = inference(cfg, eval_step, eval_state, eval_dataset,
                                 os.path.join(output_dir, f"eval_{iteration}"),
                                 metrics=cfg.TEST.METRIC, logger=logger)
             # non-main ranks return early from inference() without AP keys,
@@ -177,8 +183,10 @@ def do_train(cfg, model, train_step, eval_step, state, train_loader,
             key_ap = results.get(DEFAULT_KEY_METRIC, None)
             if key_ap is not None and key_ap >= best_ap:
                 best_ap = key_ap
+                # save the WEIGHTS THAT WERE EVALUATED (EMA if enabled), so
+                # --eval --ckpt <best> reproduces the gated metric
                 checkpointer.save(f"model_moderate_best_{cfg.MODEL.HEAD.OUTPUT_DEPTH}",
-                                  state, tag_last=False)
+                                  eval_state, tag_last=False)
                 logger.info(f"new best {DEFAULT_KEY_METRIC}: {best_ap:.4f}")
 
     checkpointer.save("model_final", state)

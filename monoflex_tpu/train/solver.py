@@ -13,7 +13,7 @@ torch param groups; the schedule multiplies the shared base LR.
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Any, Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -161,4 +161,50 @@ def build_optimizer(cfg, params, steps_per_epoch: int = 1):
         tx = optax.chain(tx, optax.masked(optax.set_to_zero(), trunk_mask))
     if s.GRAD_NORM_CLIP > 0:
         tx = optax.chain(optax.clip_by_global_norm(s.GRAD_NORM_CLIP), tx)
+    if getattr(s, "EMA_DECAY", 0.0) > 0.0:
+        tx = with_param_ema(tx, s.EMA_DECAY)
     return tx, schedule
+
+
+class ParamEmaState(NamedTuple):
+    """Optimizer-state wrapper carrying an exponential moving average of the
+    PARAMETERS (not the updates — optax.ema smooths updates).
+
+    Keeping the shadow tree inside opt_state means no TrainState /
+    checkpoint schema change, the non-finite skip guard covers it for free,
+    and orbax saves/restores it with the optimizer.  The reference has no
+    EMA; it was added to stabilize the late-training 3d@0.7 metric (the XL
+    accuracy gate decayed 2x from its mid-run peak, BASELINE.md round 4)."""
+
+    inner: Any
+    ema: Any
+    count: Any
+
+
+def with_param_ema(tx, decay: float):
+    def init(params):
+        # jnp.copy, NOT asarray: the shadow tree must own its buffers, or
+        # a donated train step sees the same buffer in params and opt_state
+        # ("attempt to donate the same buffer twice")
+        return ParamEmaState(inner=tx.init(params),
+                             ema=jax.tree.map(jnp.copy, params),
+                             count=jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params=None):
+        updates, new_inner = tx.update(grads, state.inner, params)
+        new_params = optax.apply_updates(params, updates)
+        # bias-corrected decay so the first steps track params closely
+        # instead of the init snapshot
+        count = state.count + 1
+        d = jnp.minimum(decay, (1.0 + count) / (10.0 + count))
+        new_ema = jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                               state.ema, new_params)
+        return updates, ParamEmaState(inner=new_inner, ema=new_ema,
+                                      count=count)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state):
+    """The EMA parameter tree, or None if EMA is not enabled."""
+    return opt_state.ema if isinstance(opt_state, ParamEmaState) else None

@@ -139,6 +139,7 @@ class TestShiftDCN:
         ref = modulated_deform_conv(x, jnp.clip(big, -4, 4), mask, w, b)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
+    @pytest.mark.slow  # 103 s: finite-difference cross-check of 5 grads
     def test_gradients_match_gather_path(self):
         x, off, mask, w, b = self._inputs(off_scale=1.0)
 

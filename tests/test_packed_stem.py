@@ -126,6 +126,7 @@ def test_train_mode_bn_stats_and_grads_match():
                                    rtol=2e-4, atol=3e-5, err_msg=key)
 
 
+@pytest.mark.slow  # 85 s: two full-backbone variants end to end
 def test_dlaseg_end_to_end_match():
     """Full backbone (trunk + DCN neck) agrees between stems."""
     rng = np.random.RandomState(4)

@@ -85,6 +85,7 @@ def test_adam_onecycle_optimizer_steps(cfg):
     assert float(jnp.abs(flat[0] - 1.0).max()) > 0  # params moved
 
 
+@pytest.mark.slow  # 162 s: full train-step compile + 3 steps
 def test_train_step_decreases_loss(cfg, tiny_setup):
     model, tx, state, batch = tiny_setup
     loss_computer = LossComputer(cfg)
@@ -98,6 +99,7 @@ def test_train_step_decreases_loss(cfg, tiny_setup):
     assert losses[-1] < losses[0]  # same batch -> loss must drop
 
 
+@pytest.mark.slow  # 91 s: its own train-step variant
 def test_nonfinite_batch_skips_update(cfg, tiny_setup):
     model, tx, state, batch = tiny_setup
     loss_computer = LossComputer(cfg)
@@ -126,6 +128,7 @@ def test_eval_step(cfg, tiny_setup):
     assert valid.shape == (2, 50)
 
 
+@pytest.mark.slow  # 174 s: 8-device mesh train-step compile
 def test_multichip_mesh_train_step(cfg):
     """Full data-parallel step over the virtual 8-device CPU mesh."""
     assert len(jax.devices()) == 8
@@ -160,6 +163,7 @@ def test_multichip_mesh_train_step(cfg):
                                rtol=2e-4)
 
 
+@pytest.mark.slow  # 99 s: the driver runs this path separately anyway
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
@@ -202,3 +206,65 @@ def test_backbone_freeze(cfg, tiny_setup):
     head_before = jax.tree.leaves(state.params["predictor"])[0]
     head_after = jax.tree.leaves(new_state.params["predictor"])[0]
     assert not np.allclose(np.asarray(head_before), np.asarray(head_after))
+
+
+def test_param_ema_wrapper():
+    """with_param_ema keeps a parameter EMA inside opt_state: the shadow
+    tree tracks the updated params (bias-corrected early), and
+    get_ema_params exposes it / returns None when EMA is off."""
+    import optax
+
+    from monoflex_tpu.train.solver import (ParamEmaState, get_ema_params,
+                                           with_param_ema)
+
+    params = {"w": jnp.array([1.0, 2.0])}
+    tx = with_param_ema(optax.sgd(0.1), decay=0.9)
+    state = tx.init(params)
+    assert isinstance(state, ParamEmaState)
+    np.testing.assert_array_equal(np.asarray(get_ema_params(state)["w"]),
+                                  np.asarray(params["w"]))
+
+    g = {"w": jnp.array([1.0, 1.0])}
+    p = params
+    for i in range(3):
+        updates, state = tx.update(g, state, p)
+        p = optax.apply_updates(p, updates)
+    ema = get_ema_params(state)["w"]
+    # EMA lags the raw params but has moved off the init
+    assert float(ema[0]) < 1.0 and float(ema[0]) > float(p["w"][0])
+    # bias correction: after 3 steps the effective decay was
+    # min(0.9, (1+t)/(10+t)) per step, t=1..3
+    expect = np.array([1.0, 2.0])
+    q = np.array([1.0, 2.0])
+    for t in range(1, 4):
+        q = q - 0.1
+        d = min(0.9, (1 + t) / (10 + t))
+        expect = d * expect + (1 - d) * q
+    np.testing.assert_allclose(np.asarray(ema), expect, rtol=1e-6)
+
+    assert get_ema_params(tx.init(params).inner) is None
+
+
+@pytest.mark.slow  # compiles its own train-step variant (~5 min on CPU)
+def test_train_step_with_ema(cfg, tiny_setup):
+    """EMA enabled end-to-end: the shadow tree rides opt_state through the
+    jitted train step and differs from both init and raw params."""
+    model, _, state, batch = tiny_setup
+    c = cfg.clone()
+    c.SOLVER.EMA_DECAY = 0.99
+    tx, _ = build_optimizer(c, state.params)
+    from monoflex_tpu.train.solver import get_ema_params
+
+    st = TrainState(step=jnp.zeros((), jnp.int32), params=state.params,
+                    batch_stats=state.batch_stats,
+                    opt_state=tx.init(state.params),
+                    skips=jnp.zeros((), jnp.int32))
+    loss_computer = LossComputer(c)
+    step = jax.jit(make_train_step(model, loss_computer, tx))
+    new_state, _ = step(st, batch)
+    new_state, _ = step(new_state, batch)
+    ema = get_ema_params(new_state.opt_state)
+    assert ema is not None
+    leaf = lambda t: np.asarray(jax.tree.leaves(t["predictor"])[0])
+    assert not np.allclose(leaf(ema), leaf(state.params))       # moved
+    assert not np.allclose(leaf(ema), leaf(new_state.params))   # lags raw

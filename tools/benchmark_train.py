@@ -87,12 +87,17 @@ def main():
     if profile_dir:
         jax.profiler.stop_trace()
 
+    # V100-era train denominator: the reference publishes no train
+    # throughput, so BASELINE.md pins 33 img/s inference (paper-era anchor)
+    # divided by the measured train:fwd FLOP ratio 545.9/178.9 = 3.05
+    # (tools/flops.py) -> 10.8 img/s.  Full derivation: BASELINE.md.
+    TRAIN_BASELINE_IMG_S = 10.8
     img_per_s = batch_size * iters / elapsed
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
         "value": round(img_per_s, 2),
         "unit": "img/s",
-        "vs_baseline": None,
+        "vs_baseline": round(img_per_s / TRAIN_BASELINE_IMG_S, 3),
     }))
 
 
