@@ -268,6 +268,10 @@ _C.TPU.DCN_IMPL_PER_STAGE = ()
 # agree to 3e-7).  Device parity + timing tables: docs/DESIGN.md round 5;
 # MONOFLEX_DX_KERNEL env var overrides for ad-hoc A/Bs.
 _C.TPU.DCN_DX_KERNEL = "dx5"
+# fuse eval-mode BN + ReLU into the v3 DCN kernels' output write (saves the
+# separate XLA BN+ReLU HBM pass per neck layer at inference; same math,
+# folded form — train mode always uses real BatchNorm)
+_C.TPU.DCN_FUSE_BN_RELU = False
 _C.TPU.DCN_MAX_OFFSET = 2         # learned-offset clamp for the shift/Pallas DCN
 # optional per-stage clamp (ida_0 deepest, ida_1, ida_2, final ida_up);
 # empty = uniform DCN_MAX_OFFSET.  Offset-stats (docs/DESIGN.md) motivate a

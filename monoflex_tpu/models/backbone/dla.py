@@ -320,7 +320,7 @@ class DCN(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, epilogue_scale=None, epilogue_shift=None):
         k = self.kernel * self.kernel
         om = nn.Conv(3 * k, (self.kernel, self.kernel),
                      strides=(self.stride, self.stride),
@@ -342,7 +342,7 @@ class DCN(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         simple_geom = (self.stride == 1 and self.dilation == 1 and self.kernel == 3)
         if self.impl in ("pallas3", "pallas3b") and simple_geom:
-            from ...ops.dcn_pallas_v3 import dcn_pallas_v3_vjp
+            from ...ops.dcn_pallas_v3 import dcn_pallas_v3, dcn_pallas_v3_vjp
 
             # third-generation layout (C on sublanes, W on lanes): the hat-map
             # application becomes a sublane broadcast instead of the v2
@@ -351,8 +351,19 @@ class DCN(nn.Module):
             # "pallas3b" ships x in bf16 (halved relayout+DMA bytes; window
             # math stays f32 — exact on the bf16-quantized input).
             transfer = jnp.bfloat16 if self.impl == "pallas3b" else None
+            if epilogue_scale is not None:
+                # eval-only fused BN+ReLU epilogue (no VJP: inference path);
+                # the conv bias folds into the shift
+                return dcn_pallas_v3(
+                    x.astype(jnp.float32), offset, mask, weight, None,
+                    max_offset=self.max_offset, transfer_dtype=transfer,
+                    epilogue=(epilogue_scale,
+                              epilogue_shift + bias * epilogue_scale))
             return dcn_pallas_v3_vjp(x.astype(jnp.float32), offset, mask,
                                      weight, bias, self.max_offset, transfer)
+        if epilogue_scale is not None:
+            raise ValueError("epilogue fusion requires a pallas3 impl with "
+                             "3x3/stride-1/dilation-1 geometry")
         if self.impl in ("pallas2", "pallas2p") and simple_geom:
             from ...ops.dcn_pallas_v2 import dcn_pallas_v2_vjp
 
@@ -376,6 +387,35 @@ class DCN(nn.Module):
             stride=self.stride, padding=self.padding, dilation=self.dilation)
 
 
+# Eval-time BN+ReLU epilogue fusion into the v3 Pallas DCN kernels
+# (TPU.DCN_FUSE_BN_RELU; build_backbone calls set_fuse_bn_relu).  Same
+# set-at-build-time pattern as ops.dcn_pallas_v3.set_dx_kernel.
+_FUSE_BN_RELU = False
+
+
+def set_fuse_bn_relu(enabled: bool) -> None:
+    global _FUSE_BN_RELU
+    _FUSE_BN_RELU = bool(enabled)
+
+
+class _BNParams(nn.Module):
+    """Declares BatchNorm's exact param/stat tree WITHOUT applying it, so
+    the eval-fused path can fold scale/bias/mean/var into the DCN kernel
+    epilogue while staying checkpoint-compatible with nn.BatchNorm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((self.features,), jnp.float32))
+        return scale, bias, mean.value, var.value
+
+
 class DeformConvBlock(nn.Module):
     """DCN -> BN -> ReLU (reference: model/backbone/dla_dcn.py:384-396).
 
@@ -392,6 +432,18 @@ class DeformConvBlock(nn.Module):
         if self.dcn_impl == "none":
             x = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
                         dtype=self.dtype)(x)
+        elif (not train and _FUSE_BN_RELU
+              and self.dcn_impl in ("pallas3", "pallas3b")):
+            # fold eval-BN + ReLU into the kernel's output write:
+            # bn(y) = y*a + b with a = scale/sqrt(var+eps),
+            # b = bias - mean*a; the conv bias folds into b as bias_c*a
+            scale, bias, mean, var = _BNParams(self.features,
+                                               name="BatchNorm_0")()
+            a = scale * jax.lax.rsqrt(var + 1e-5)
+            b = bias - mean * a
+            return DCN(self.features, impl=self.dcn_impl,
+                       max_offset=self.max_offset, dtype=self.dtype)(
+                x, epilogue_scale=a, epilogue_shift=b).astype(self.dtype)
         else:
             x = DCN(self.features, impl=self.dcn_impl,
                     max_offset=self.max_offset, dtype=self.dtype)(x)
@@ -630,6 +682,7 @@ def resolve_dcn_stages(cfg):
 
 def build_backbone(cfg):
     body = cfg.MODEL.BACKBONE.CONV_BODY
+    set_fuse_bn_relu(getattr(cfg.TPU, "DCN_FUSE_BN_RELU", False))
     dtype = jnp.bfloat16 if cfg.TPU.COMPUTE_DTYPE == "bfloat16" else jnp.float32
     if body == "dlav0" or body.startswith("dlav0_"):
         # the reference's vanilla (no-DCN) family, dla34 ... dla169

@@ -89,8 +89,15 @@ def _dims(H, W, C, Co, R):
 # ---------------------------------------------------------------------------
 
 
-def _fwd3_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
-                 s_ref, t_ref, sem, *, tile_h, max_offset, compute_dtype):
+def _fwd3_kernel(x_hbm, off_ref, mask_ref, w_ref, *rest,
+                 tile_h, max_offset, compute_dtype, fuse=False):
+    if fuse:
+        # ep_ref rows: 0 = per-channel scale, 1 = shift (folded eval-BN +
+        # conv bias); epilogue applies scale*out + shift then ReLU in VMEM,
+        # saving the two HBM passes XLA's separate BN+ReLU fusion costs
+        ep_ref, out_ref, xv_ref, xs_ref, s_ref, t_ref, sem = rest
+    else:
+        out_ref, xv_ref, xs_ref, s_ref, t_ref, sem = rest
     R = max_offset
     P = R + 1
     b = pl.program_id(0)
@@ -138,6 +145,9 @@ def _fwd3_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
 
     out_ref[0] = jnp.zeros_like(out_ref[0])
     jax.lax.fori_loop(0, 9, tap_body, 0)
+    if fuse:
+        out_ref[0] = jnp.maximum(
+            out_ref[0] * ep_ref[0:1][None] + ep_ref[1:2][None], 0.0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_offset", "compute_dtype",
@@ -145,7 +155,8 @@ def _fwd3_kernel(x_hbm, off_ref, mask_ref, w_ref, out_ref, xv_ref, xs_ref,
 def dcn_pallas_v3(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   weight: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
                   max_offset: int = 2, compute_dtype=None,
-                  transfer_dtype=None) -> jnp.ndarray:
+                  transfer_dtype=None,
+                  epilogue: Optional[tuple] = None) -> jnp.ndarray:
     """NHWC modulated deformable conv, v3 (C-sublane/W-lane) kernel.
 
     Same contract as ops.dcn_pallas_v2.dcn_pallas_v2: x (B,H,W,C); offset
@@ -156,6 +167,12 @@ def dcn_pallas_v3(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
     kernel layout and the HBM->VMEM DMA).  bf16 halves those bytes while the
     window math stays in compute_dtype (upcast rides the in-VMEM shift
     copies); output == the f32 kernel on jnp.asarray(x, transfer_dtype).
+
+    epilogue: optional (scale, shift) pair of (Co,) f32 vectors — the kernel
+    applies relu(out*scale + shift) in VMEM before the output write (folded
+    eval-mode BN + ReLU; the conv bias must be pre-folded into shift by the
+    caller — ``bias`` is ignored when epilogue is given).  Inference-only:
+    the VJP wrappers never pass it.
     """
     B, H, W, C = x.shape
     Co = weight.shape[-1]
@@ -180,19 +197,29 @@ def dcn_pallas_v3(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
                   ((0, 0), (0, Cs - C), (0, 0)))
 
     kernel = functools.partial(_fwd3_kernel, tile_h=tile_h, max_offset=R,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               fuse=epilogue is not None)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec((1, 18, tile_h, wp), lambda b, h: (b, 0, h, 0)),
+        pl.BlockSpec((1, 9, tile_h, wp), lambda b, h: (b, 0, h, 0)),
+        pl.BlockSpec((9, Cs, Co), lambda b, h: (0, 0, 0)),
+    ]
+    operands = [xt, off_t, mask_t, w_t]
+    if epilogue is not None:
+        scale, shift = epilogue
+        ep = jnp.zeros((8, Co), jnp.float32)
+        ep = ep.at[0].set(scale.astype(jnp.float32))
+        ep = ep.at[1].set(shift.astype(jnp.float32))
+        in_specs.append(pl.BlockSpec((8, Co), lambda b, h: (0, 0)))
+        operands.append(ep)
     out = pl.pallas_call(
         kernel,
         grid=(B, Hp // tile_h),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=127 * 1024 * 1024),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 18, tile_h, wp), lambda b, h: (b, 0, h, 0)),
-            pl.BlockSpec((1, 9, tile_h, wp), lambda b, h: (b, 0, h, 0)),
-            pl.BlockSpec((9, Cs, Co), lambda b, h: (0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, tile_h, W, Co), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hp, W, Co), jnp.float32),
         scratch_shapes=[
@@ -202,10 +229,10 @@ def dcn_pallas_v3(x: jnp.ndarray, offset: jnp.ndarray, mask: jnp.ndarray,
             pltpu.VMEM((tile_h, Cs, wp), compute_dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(xt, off_t, mask_t, w_t)
+    )(*operands)
 
     out = out[:, :H]
-    if bias is not None:
+    if bias is not None and epilogue is None:
         out = out + bias
     return out.astype(x.dtype)
 

@@ -218,3 +218,61 @@ def test_v3_bwd_rect_channels():
         np.testing.assert_allclose(np.asarray(g) / scale,
                                    np.asarray(r) / scale,
                                    atol=2e-3, err_msg=n)
+
+
+def test_fwd_epilogue_fuses_bn_relu():
+    """epilogue=(a, b) applies relu(out*a + b) in-kernel == separate
+    eval-BN + ReLU on the plain kernel output (folded form, f32)."""
+    x, off, mask, w, bias = make_inputs()
+    Co = w.shape[-1]
+    rng = np.random.RandomState(5)
+    scale = jnp.asarray(rng.rand(Co).astype(np.float32) + 0.5)
+    shift = jnp.asarray(rng.randn(Co).astype(np.float32) * 0.2)
+
+    plain = DP3.dcn_pallas_v3(x, off, mask, w, bias, max_offset=2)
+    want = jnp.maximum(plain * scale + shift, 0.0)
+    got = DP3.dcn_pallas_v3(x, off, mask, w, None, max_offset=2,
+                            epilogue=(scale, shift + bias * scale))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_deform_conv_block_fused_matches_unfused():
+    """DeformConvBlock with TPU.DCN_FUSE_BN_RELU: identical param tree and
+    (eval) outputs vs the unfused module, on randomized BN stats."""
+    import flax
+    from monoflex_tpu.models.backbone import dla
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 32, 8), jnp.float32)
+    try:
+        dla.set_fuse_bn_relu(False)
+        block = dla.DeformConvBlock(8, dcn_impl="pallas3")
+        vs = block.init(jax.random.PRNGKey(0), x, train=False)
+        # randomize stats/params so folding errors cannot cancel
+        rng = np.random.RandomState(1)
+        vs = flax.core.unfreeze(vs)
+        bn_s = vs["batch_stats"]["BatchNorm_0"]
+        bn_s["mean"] = jnp.asarray(rng.randn(8).astype(np.float32) * 0.3)
+        bn_s["var"] = jnp.asarray(rng.rand(8).astype(np.float32) + 0.5)
+        bn_p = vs["params"]["BatchNorm_0"]
+        bn_p["scale"] = jnp.asarray(rng.rand(8).astype(np.float32) + 0.5)
+        bn_p["bias"] = jnp.asarray(rng.randn(8).astype(np.float32) * 0.2)
+        vs["params"]["DCN_0"]["bias"] = jnp.asarray(
+            rng.randn(8).astype(np.float32) * 0.1)
+        want = block.apply(vs, x, train=False)
+
+        dla.set_fuse_bn_relu(True)
+        fused = dla.DeformConvBlock(8, dcn_impl="pallas3")
+        vs2 = fused.init(jax.random.PRNGKey(0), x, train=False)
+        paths = lambda t: sorted(
+            jax.tree_util.keystr(p) for p, _ in
+            jax.tree_util.tree_flatten_with_path(t)[0])
+        assert paths(vs2) == paths(vs)  # checkpoint-compatible tree
+        got = fused.apply(vs, x, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        # train mode under the fuse flag uses real BatchNorm on the SAME tree
+        got_t, mut = fused.apply(vs, x, train=True, mutable=["batch_stats"])
+        assert np.isfinite(np.asarray(got_t)).all()
+    finally:
+        dla.set_fuse_bn_relu(False)
