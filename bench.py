@@ -75,6 +75,8 @@ def main():
             os.environ["BENCH_IMPL_PER_STAGE"].split(","))
     if os.environ.get("BENCH_DTYPE"):
         cfg.TPU.COMPUTE_DTYPE = os.environ["BENCH_DTYPE"]
+    if os.environ.get("BENCH_FUSE_BN_RELU"):
+        cfg.TPU.DCN_FUSE_BN_RELU = os.environ["BENCH_FUSE_BN_RELU"] == "1"
 
     batch_size = int(os.environ.get("BENCH_BATCH", "8"))
     model = build_model(cfg)

@@ -22,7 +22,12 @@ import jax.numpy as jnp
 
 PI = math.pi
 
-ALPHA_CENTERS = jnp.array([0.0, PI / 2, PI, -PI / 2], dtype=jnp.float32)
+# plain numpy, NOT jnp: a module-level device array would initialize the
+# XLA backend at import time, which breaks multi-host startup (the CLI must
+# reach jax.distributed.initialize before any backend use)
+import numpy as _np
+
+ALPHA_CENTERS = _np.array([0.0, PI / 2, PI, -PI / 2], dtype=_np.float32)
 
 
 def rad_to_matrix(rotys: jnp.ndarray) -> jnp.ndarray:
@@ -40,11 +45,11 @@ def rad_to_matrix(rotys: jnp.ndarray) -> jnp.ndarray:
 # Corner assembly: dims are (l, h, w); the reference gathers a fixed index
 # pattern so corners 0-3 are the bottom face (y=0 ... actually y=+h/2 around
 # the 3D center) and 4-7 the top face (reference: model/anno_encoder.py:111-122).
-_CORNER_INDEX = jnp.array([
+_CORNER_INDEX = _np.array([
     [4, 5, 0, 1, 6, 7, 2, 3],   # x from +-l/2
     [0, 1, 2, 3, 4, 5, 6, 7],   # y from +-h/2
     [4, 0, 1, 5, 6, 2, 3, 7],   # z from +-w/2
-], dtype=jnp.int32)
+], dtype=_np.int32)
 
 
 def encode_box3d(rotys: jnp.ndarray, dims: jnp.ndarray, locs: jnp.ndarray) -> jnp.ndarray:
@@ -175,7 +180,8 @@ def decode_axes_orientation(vector_ori: jnp.ndarray, locations: jnp.ndarray,
 
     sincos = vector_ori[:, num_bin * 2:].reshape(n, num_bin, 2)
     chosen = jnp.take_along_axis(sincos, best[:, None, None].astype(jnp.int32), axis=1)[:, 0]
-    alphas = jnp.arctan2(chosen[:, 0], chosen[:, 1]) + ALPHA_CENTERS[best]
+    alphas = (jnp.arctan2(chosen[:, 0], chosen[:, 1])
+              + jnp.asarray(ALPHA_CENTERS)[best])
 
     locations = locations.reshape(-1, 3)
     rays = jnp.arctan2(locations[:, 0], locations[:, 2])
@@ -198,7 +204,7 @@ def decode_axes_orientation_head_axis(vector_ori: jnp.ndarray,
     head_cls = (vector_ori[:, 3] > vector_ori[:, 2]).astype(jnp.int32)
     sincos = vector_ori[:, 4:6]
     sincos = sincos / jnp.linalg.norm(sincos, axis=1, keepdims=True).clip(1e-9)
-    alphas = (ALPHA_CENTERS[axis_cls + head_cls * 2]
+    alphas = (jnp.asarray(ALPHA_CENTERS)[axis_cls + head_cls * 2]
               + jnp.arctan(sincos[:, 0] / jnp.where(sincos[:, 1] == 0, 1e-9,
                                                     sincos[:, 1])))
     locations = locations.reshape(-1, 3)

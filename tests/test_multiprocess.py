@@ -100,7 +100,10 @@ GSPMD_WORKER = r"""
 import os, sys
 sys.path.insert(0, {repo!r})
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 "
+                           # compile skew between ranks must not trip the
+                           # short gloo default while the peer still compiles
+                           "--xla_cpu_collective_timeout_seconds=900")
 import jax
 jax.config.update("jax_platforms", "cpu")
 # persistent cache: the train-step CPU compile is minutes; warm re-runs
@@ -233,8 +236,10 @@ def test_gspmd_two_process_train_step_parity(tmp_path):
 
 CLI_OPTS = [
     "SEED", "1",
-    "INPUT.HEIGHT_TRAIN", "64", "INPUT.WIDTH_TRAIN", "128",
-    "INPUT.HEIGHT_TEST", "64", "INPUT.WIDTH_TEST", "128",
+    # >= the scale-4 synthetic image dims (310x93): the KITTI pipeline
+    # pads up to the input canvas, it never shrinks
+    "INPUT.HEIGHT_TRAIN", "96", "INPUT.WIDTH_TRAIN", "320",
+    "INPUT.HEIGHT_TEST", "96", "INPUT.WIDTH_TEST", "320",
     "SOLVER.IMS_PER_BATCH", "4",
     "SOLVER.EVAL_AND_SAVE_EPOCH", "False",
     "SOLVER.EVAL_INTERVAL", "2",
@@ -250,7 +255,8 @@ def _run_cli_pod(repo, data_dir, out_dir, coord, max_iter):
     env = {k: v for k, v in os.environ.items()
            if not k.startswith(("JAX_", "XLA_", "PYTHONPATH"))}
     env.update(MONOFLEX_PLATFORM="cpu", MONOFLEX_DATA_DIR=str(data_dir),
-               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               XLA_FLAGS=("--xla_force_host_platform_device_count=2 "
+                          "--xla_cpu_collective_timeout_seconds=900"),
                MONOFLEX_COMPILE_CACHE=os.path.join(repo, ".jax_cache"))
     procs = [subprocess.Popen(
         [sys.executable, cli, "--config", os.path.join(repo, "runs", "monoflex.yaml"),
