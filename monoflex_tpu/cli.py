@@ -120,6 +120,12 @@ def _run(args):
         # engine/test_net.py:9-35) — writes txts, skips AP
         from .engine.test_net import run_test
 
+        if not restored:
+            logger.warning(
+                "--test with RANDOMLY INITIALIZED weights: no --ckpt given "
+                "and no checkpoint found in OUTPUT_DIR — the submission "
+                "txts will be garbage")
+
         with mesh:
             run_test(cfg, eval_step, state, eval_ds,
                      eval_all_depths=args.eval_all_depths, logger=logger)

@@ -71,15 +71,7 @@ class CfgNode(dict):
                     raise TypeError(f"Cannot override config group {full} with a leaf value")
                 self[k].merge_from_other(v, full)
             else:
-                if isinstance(v, str):
-                    # yacs literal_evals every string loaded from yaml
-                    # (yacs _decode_cfg_value), so python-tuple syntax like
-                    # ("Car", "Pedestrian", "Cyclist") parses as a tuple
-                    try:
-                        v = ast.literal_eval(v)
-                    except (ValueError, SyntaxError):
-                        pass
-                self[k] = _coerce(v, self[k], full)
+                self[k] = _coerce(_maybe_literal_eval(v), self[k], full)
 
     def merge_from_file(self, path: str) -> None:
         with open(path, "r") as f:
@@ -106,15 +98,7 @@ class CfgNode(dict):
                     value = yaml.safe_load(value)
                 except yaml.YAMLError:
                     pass
-            if isinstance(value, str):
-                # yacs-compatible: "(2400, 2900)"-style python literals on
-                # the command line (YAML can't parse tuples)
-                import ast
-
-                try:
-                    value = ast.literal_eval(value)
-                except (ValueError, SyntaxError):
-                    pass
+            value = _maybe_literal_eval(value)
             node[leaf] = _coerce(value, node[leaf], key)
 
     def dump(self) -> str:
@@ -127,6 +111,18 @@ def _to_plain(node: Any) -> Any:
     if isinstance(node, (list, tuple)):
         return [_to_plain(v) for v in node]
     return node
+
+
+def _maybe_literal_eval(value: Any) -> Any:
+    """yacs literal_evals every string config value (_decode_cfg_value), so
+    python-literal syntax like ("Car", "Cyclist") or (2400, 2900) parses to
+    a tuple whether it came from a yaml file or the command line."""
+    if isinstance(value, str):
+        try:
+            return ast.literal_eval(value)
+        except (ValueError, SyntaxError):
+            pass
+    return value
 
 
 def _coerce(value: Any, old: Any, key: str) -> Any:

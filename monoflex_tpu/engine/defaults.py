@@ -45,6 +45,12 @@ def setup(args):
 
     cfg = get_cfg_defaults()
     cfg.merge_from_file(args.config_file)
+    if getattr(args, "test", False):
+        # submission mode: label-less test split (reference:
+        # tools/plain_train_net.py:104-106). Applied BEFORE the opts merge
+        # so explicit KEY VALUE overrides still win.
+        cfg.DATASETS.TEST_SPLIT = "test"
+        cfg.DATASETS.TEST = ("kitti_test",)
     if args.opts:
         cfg.merge_from_list(args.opts)
     if args.batch_size is not None:
@@ -55,11 +61,6 @@ def setup(args):
         cfg.OUTPUT_DIR = args.output
     if args.ckpt is not None:
         cfg.MODEL.WEIGHT = args.ckpt
-    if getattr(args, "test", False):
-        # submission mode: label-less test split (reference:
-        # tools/plain_train_net.py:104-106)
-        cfg.DATASETS.TEST_SPLIT = "test"
-        cfg.DATASETS.TEST = ("kitti_test",)
     return cfg
 
 

@@ -169,9 +169,11 @@ def inference(cfg, eval_step, state, dataset, output_dir: str,
 
     label_dir = os.path.join(dataset.root, "label_2")
     split_file = os.path.join(dataset.root, "ImageSets", f"{dataset.split}.txt")
-    if dataset.split == "test" or not os.path.isdir(label_dir):
-        # label-less split (KITTI submission): the txts ARE the product
-        logger.info(f"split '{dataset.split}' has no labels; skipping AP "
+    if not os.path.isdir(label_dir):
+        # label-less root (KITTI submission): the txts ARE the product.
+        # Keyed on label availability, NOT the split name — a labeled
+        # holdout that happens to be named "test" still gets AP.
+        logger.info(f"no labels at {label_dir}; skipping AP "
                     f"(predictions in {pred_dir})")
         return stats
     results = {}

@@ -190,6 +190,15 @@ def do_train(cfg, model, train_step, eval_step, state, train_loader,
                 logger.info(f"new best {DEFAULT_KEY_METRIC}: {best_ap:.4f}")
 
     checkpointer.save("model_final", state)
+    # with EMA the logged eval metrics come from the averaged weights;
+    # ship them as their own artifact so deploys reproduce those numbers
+    # (model_final stays raw — it is the resume point)
+    from ..train.solver import get_ema_params
+
+    ema = get_ema_params(state.opt_state)
+    if ema is not None:
+        checkpointer.save("model_final_ema", state._replace(params=ema),
+                          tag_last=False)
     writer.close()
     logger.info(f"training done; best {DEFAULT_KEY_METRIC}: {best_ap:.4f}")
     return state

@@ -63,11 +63,29 @@ class Checkpointer:
     def load(self, template: TrainState, path: Optional[str] = None) -> Tuple[TrainState, int]:
         """Restore into the shape/dtype structure of ``template``. Returns
         (state, start_iteration). With load_optimizer_scheduler=False only the
-        model weights and BN stats are taken from the checkpoint."""
+        model weights and BN stats are taken from the checkpoint.
+
+        Tolerates an opt_state STRUCTURE mismatch between the checkpoint and
+        the template (e.g. loading a run saved with a different
+        SOLVER.EMA_DECAY setting — the EMA shadow tree lives inside
+        opt_state): falls back to a weights+stats-only restore instead of
+        failing the full-template restore."""
         path = path or self.get_checkpoint_file()
         if path is None or not os.path.exists(path):
             return template, 0
-        restored = self._ckptr.restore(path, jax.device_get(template))
+        host_template = jax.device_get(template)
+        try:
+            restored = self._ckptr.restore(path, host_template)
+        except ValueError:
+            # structure mismatch: template-free restore of the raw saved
+            # tree, then take weights + stats from it (TrainState is saved
+            # as a pytree; field order is the NamedTuple order)
+            raw = self._ckptr.restore(path)
+            # orbax serializes the TrainState NamedTuple as a name-keyed dict
+            params = raw["params"] if isinstance(raw, dict) else raw.params
+            stats = (raw["batch_stats"] if isinstance(raw, dict)
+                     else raw.batch_stats)
+            return template._replace(params=params, batch_stats=stats), 0
         if not self.load_optimizer_scheduler:
             restored = template._replace(params=restored.params,
                                          batch_stats=restored.batch_stats)

@@ -174,7 +174,13 @@ class ParamEmaState(NamedTuple):
     checkpoint schema change, the non-finite skip guard covers it for free,
     and orbax saves/restores it with the optimizer.  The reference has no
     EMA; it was added to stabilize the late-training 3d@0.7 metric (the XL
-    accuracy gate decayed 2x from its mid-run peak, BASELINE.md round 4)."""
+    accuracy gate decayed 2x from its mid-run peak, BASELINE.md round 4).
+
+    Known limitation: BN batch_stats are NOT shadowed — EMA evals pair the
+    averaged weights with the raw run's running stats.  The stats are
+    themselves a momentum-0.1 moving average and the measured effect is
+    positive (XL gate), but a bit of the EMA benefit may be left on the
+    table vs also averaging the buffers (as e.g. timm's ModelEmaV2 does)."""
 
     inner: Any
     ema: Any

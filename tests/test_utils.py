@@ -120,3 +120,39 @@ def test_model_catalog_unknown():
         ModelCatalog.get("catalog://NO/SUCH")
     with _pytest.raises(RuntimeError):
         DatasetCatalog.get("nope")
+
+
+def test_checkpoint_load_across_ema_boundary(tmp_path):
+    """A checkpoint saved with one SOLVER.EMA_DECAY setting loads under the
+    other: the opt_state STRUCTURE differs (ParamEmaState wraps the inner
+    state), so Checkpointer.load falls back to a weights+stats-only restore
+    instead of failing the full-template restore."""
+    import jax.numpy as jnp
+    import optax
+
+    from monoflex_tpu.train.checkpoint import Checkpointer
+    from monoflex_tpu.train.solver import with_param_ema
+    from monoflex_tpu.train.train_step import TrainState
+
+    params = {"w": jnp.arange(4.0)}
+    tx_plain = optax.sgd(0.1)
+    tx_ema = with_param_ema(optax.sgd(0.1), 0.99)
+
+    def mk(tx, val=0.0):
+        return TrainState(step=jnp.ones((), jnp.int32),
+                          params={"w": jnp.arange(4.0) + val},
+                          batch_stats={"m": jnp.zeros(2) + val},
+                          opt_state=tx.init(params),
+                          skips=jnp.zeros((), jnp.int32))
+
+    ck = Checkpointer(str(tmp_path / "a"))
+    ck.save("model_x", mk(tx_plain, val=7.0))
+    st, it = ck.load(mk(tx_ema), str(tmp_path / "a" / "model_x"))
+    assert it == 0  # optimizer/scheduler NOT restored across the boundary
+    assert float(st.params["w"][0]) == 7.0
+    assert float(st.batch_stats["m"][0]) == 7.0
+
+    ck2 = Checkpointer(str(tmp_path / "b"))
+    ck2.save("model_y", mk(tx_ema, val=3.0))
+    st2, it2 = ck2.load(mk(tx_plain), str(tmp_path / "b" / "model_y"))
+    assert it2 == 0 and float(st2.params["w"][0]) == 3.0
