@@ -112,6 +112,10 @@ def _run(args):
             model = build_model(cfg)
 
     mesh = make_mesh(args.num_chips)
+    # device_put's cross-process value check is a device collective; meet at
+    # the coordinator first so per-host init-compile skew can't trip the
+    # much tighter collective-rendezvous timeout
+    comm.coordination_barrier("pre_device_put")
     state = jax.device_put(state, replicated(mesh))
     eval_step = jax.jit(make_eval_step(model, post), static_argnames="output_depth")
 

@@ -107,6 +107,18 @@ def do_train(cfg, model, train_step, eval_step, state, train_loader,
     iteration = start_iter
     last_log_iter = start_iter
     data_iter = iter(train_loader)
+    pending_batch = None
+    if comm.get_world_size() > 1 and mesh is not None:
+        # pre-compile the step, then meet at a COORDINATOR barrier: the first
+        # collective dispatch must not be skewed by multi-minute per-host
+        # compiles (device-collective rendezvous timeouts are much tighter
+        # than a cold compile)
+        pending_batch = shard_batch(next(data_iter), mesh)
+        try:
+            train_step.lower(state, pending_batch).compile()
+        except AttributeError:
+            pass  # not a jitted callable (tests pass plain functions)
+        comm.coordination_barrier("train_step_compiled")
     logger.info(f"start training: {max_iter} iterations "
                 f"({steps_per_epoch} steps/epoch)")
     if profile_steps > 0:
@@ -117,10 +129,13 @@ def do_train(cfg, model, train_step, eval_step, state, train_loader,
     end_window = end
 
     while iteration < max_iter:
-        batch = next(data_iter)
+        if pending_batch is not None:
+            batch, pending_batch = pending_batch, None
+        else:
+            batch = next(data_iter)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
         data_time = time.time() - end
-        if mesh is not None:
-            batch = shard_batch(batch, mesh)
         state, metrics = train_step(state, batch)
         iteration += 1
 

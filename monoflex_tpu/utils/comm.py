@@ -35,6 +35,23 @@ def synchronize(name: str = "barrier") -> None:
         multihost_utils.sync_global_devices(name)
 
 
+def coordination_barrier(name: str, timeout_s: int = 3600) -> None:
+    """Barrier through the jax.distributed COORDINATOR (gRPC), not device
+    collectives: safe to hold for however long a per-host XLA compile takes.
+    Device-collective rendezvous (gloo on CPU, ICI elsewhere) has much
+    tighter timeouts — meet here first whenever per-host compile skew could
+    span minutes (e.g. before the first train step of a cold run)."""
+    if get_world_size() == 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:
+        synchronize(name)
+        return
+    client.wait_at_barrier(name, timeout_in_ms=timeout_s * 1000)
+
+
 def broadcast_object(obj: Any, root: int = 0) -> Any:
     """Broadcast a picklable object from the root process to all."""
     if get_world_size() == 1:

@@ -143,11 +143,20 @@ state = TrainState(step=jnp.zeros((), jnp.int32), params=variables["params"],
                    opt_state=tx.init(variables["params"]),
                    skips=jnp.zeros((), jnp.int32))
 
+from monoflex_tpu.utils.comm import coordination_barrier
+
 mesh = make_mesh(4)
+# device_put's cross-process assert_equal rides gloo: meet at the
+# coordinator first so init-compile skew can't hit the gloo rendezvous
+coordination_barrier("gspmd_worker_init")
 state = jax.device_put(state, replicated(mesh))
 train_step = jax.jit(make_train_step(model, loss_computer, tx))
 batch = shard_batch(local, mesh)
 with mesh:
+    # compile first, THEN meet at the coordinator barrier, so the gloo
+    # rendezvous of the first collective never spans the compile skew
+    train_step.lower(state, batch).compile()
+    coordination_barrier("gspmd_worker_compiled")
     state2, metrics = train_step(state, batch)
 print(f"TOTAL {{float(metrics['total_loss']):.6f}}", flush=True)
 print(f"RANK_OK {{pid}}")
